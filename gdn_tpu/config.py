@@ -1,0 +1,197 @@
+"""Configuration for the gdn-tpu framework.
+
+The reference (tjqansthd/GDN-Pytorch) configures everything through
+per-script argparse flags (SURVEY.md §2.13).  Here every knob lives in
+one place as frozen dataclasses so that configs are hashable (usable as
+jit static args), serializable, and overridable from the CLI wrappers in
+``scripts/`` which mirror the reference's flag names.
+
+NOTE ON PROVENANCE: the reference checkout is empty (SURVEY.md §0), so
+details below the paper/BASELINE level — exact channel widths, loss
+weights λ, activation choices — are *defensible defaults*, isolated
+here and documented as assumptions to re-verify against the real repo.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the two-stage guided depth network.
+
+    Both stages share an encoder/decoder skeleton (SURVEY.md §2.2/§2.3):
+    the stage-1 D-net autoencodes depth; the stage-2 G-net encodes RGB
+    and decodes through a (transferred) depth-domain decoder with
+    multi-scale guidance feature fusion.
+    """
+
+    # Input resolution (H, W).  KITTI: (128, 416); NYU: (228, 304).
+    image_size: Tuple[int, int] = (128, 416)
+    # Encoder channel widths per scale; len == number of /2 downsamplings.
+    # ASSUMPTION: widths follow the common DispNet-style doubling ladder.
+    enc_channels: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    # Decoder channel widths, mirror of the encoder (latent -> full res).
+    dec_channels: Tuple[int, ...] = (256, 128, 64, 32, 16)
+    # Normalization: "group" is batch-size independent and multi-chip
+    # friendly (no cross-device sync needed, unlike BatchNorm).
+    norm: str = "group"
+    group_norm_groups: int = 8
+    # Activation inside conv blocks. ELU is standard in depth nets.
+    activation: str = "elu"
+    # Upsampling style: "resize_conv" (bilinear resize + conv; avoids the
+    # conv_transpose output-padding pitfalls flagged in SURVEY.md §7 and
+    # checkerboard artifacts) or "deconv" (stride-2 conv_transpose).
+    upsample: str = "resize_conv"
+    # Guidance fusion: how encoder-skip / guidance features enter the
+    # decoder: "concat" (concat + conv) or "add".
+    fusion: str = "concat"
+    # Max depth in meters; the output head emits depth = sigmoid(x)*max_depth.
+    max_depth: float = 80.0
+    min_depth: float = 1e-3
+    # Compute dtype for the conv stack (params stay float32).
+    dtype: str = "bfloat16"
+    # Use Pallas kernels for fused blocks where available.
+    use_pallas: bool = True
+
+    @property
+    def num_scales(self) -> int:
+        return len(self.enc_channels)
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss weights (SURVEY.md §2.4).
+
+    total = w_recon * L1(pred, gt)
+          + w_grad  * L1(∇pred, ∇gt)
+          + w_ssim  * (1 - SSIM(pred, gt)) / 2
+          + w_latent * feature-matching(G latent, D latent)   [stage 2]
+
+    ASSUMPTION: λ values are unpinned by the empty reference; defaults
+    chosen to put the terms on comparable scales for metric depth.
+    """
+
+    w_recon: float = 1.0
+    w_grad: float = 1.0
+    w_ssim: float = 0.5
+    w_latent: float = 0.1
+    # SSIM window (Gaussian, 11x11, sigma 1.5 — the standard protocol).
+    ssim_window: int = 11
+    ssim_sigma: float = 1.5
+    # Gradient loss computed at this many pyramid scales (>=1).
+    grad_scales: int = 4
+    # Use the fused Pallas loss-reduction kernel when on TPU.
+    use_pallas: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "kitti"  # "kitti" | "nyu" | "synthetic"
+    data_path: str = ""
+    train_list: str = "train.txt"
+    val_list: str = "val.txt"
+    batch_size: int = 32  # global batch (split across the mesh)
+    num_workers: int = 4
+    # On-device augmentation (jitted; SURVEY.md §2.1 TPU-native plan).
+    random_flip: bool = True
+    random_crop: bool = True
+    color_jitter: bool = True
+    jitter_strength: float = 0.2
+    # Scale-crop augmentation range (resize by s then crop back).
+    scale_range: Tuple[float, float] = (1.0, 1.15)
+    prefetch: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    mode: str = "DtoD"  # "DtoD" (stage 1) | "RtoD" (stage 2)
+    epochs: int = 50
+    lr: float = 1e-4
+    # Adam betas/eps mirror the reference's torch.optim.Adam defaults.
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    # Step-decay schedule: lr * gamma every `decay_epochs`.
+    decay_epochs: int = 20
+    decay_gamma: float = 0.5
+    grad_clip: Optional[float] = None
+    # Stage 2: freeze the transferred decoder (optax.masked zero-updates).
+    freeze_decoder: bool = True
+    seed: int = 0
+    log_every: int = 50
+    ckpt_dir: str = "checkpoints"
+    keep_ckpts: int = 3
+    # Steps per epoch when the dataset is synthetic/unbounded.
+    steps_per_epoch: int = 1000
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    # Depth caps: KITTI evaluated at 50 m and 80 m, NYU at 10 m
+    # (SURVEY.md §2.5).
+    cap: float = 80.0
+    # Crop applied to KITTI predictions/GT: "garg" | "eigen" | "none".
+    crop: str = "garg"
+    # Median scaling is OFF for the supervised protocol (SURVEY.md §2.7).
+    median_scaling: bool = False
+    batch_size: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Data-parallel mesh (SURVEY.md §2.10/§2.11): 1-D mesh over chips,
+    batch sharded on axis "data", params replicated, gradients psum'd
+    over ICI by XLA."""
+
+    data_axis: str = "data"
+    num_devices: int = 0  # 0 = all available
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def kitti_config(**overrides) -> Config:
+    """KITTI 128x416, cap 80 m (BASELINE configs 1-3, 5)."""
+    model = ModelConfig(image_size=(128, 416), max_depth=80.0)
+    return _with(Config(model=model), **overrides)
+
+
+def nyu_config(**overrides) -> Config:
+    """NYU Depth v2 228x304, cap 10 m (BASELINE config 4)."""
+    model = ModelConfig(image_size=(228, 304), max_depth=10.0)
+    cfg = Config(
+        model=model,
+        data=DataConfig(dataset="nyu"),
+        eval=EvalConfig(cap=10.0, crop="none"),
+    )
+    return _with(cfg, **overrides)
+
+
+def _with(cfg: Config, **overrides) -> Config:
+    """Apply dotted overrides, e.g. _with(cfg, **{"train.lr": 3e-4})."""
+    for key, value in overrides.items():
+        parts = key.split(".")
+        if len(parts) == 1:
+            cfg = dataclasses.replace(cfg, **{parts[0]: value})
+        else:
+            sub = getattr(cfg, parts[0])
+            sub = dataclasses.replace(sub, **{parts[1]: value})
+            cfg = dataclasses.replace(cfg, **{parts[0]: sub})
+    return cfg

@@ -1,0 +1,144 @@
+"""Training losses for the two-stage guided depth pipeline.
+
+Implements the reference's loss surface (SURVEY.md §2.4):
+  - masked L1 depth reconstruction,
+  - image-gradient L1 loss (multi-scale),
+  - SSIM structural loss,
+  - stage-2 latent/guidance feature-matching.
+
+All terms are pure jnp and differentiable; ``total_loss`` composes them
+with the LossConfig weights.  When ``LossConfig.use_pallas`` is set and
+we are on TPU, the recon+grad elementwise/reduction work is dispatched
+to the single fused Pallas kernel in kernels/fused_loss.py (equivalence
+is tested in tests/test_kernels.py); the jnp path below is the always-
+available XLA fallback and the autodiff reference.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax.numpy as jnp
+
+from gdn_tpu.config import LossConfig
+from gdn_tpu.ops.ssim import ssim
+
+
+def masked_l1(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean |pred - gt| over valid pixels.  Shapes (B, H, W[, 1])."""
+    mask = mask.astype(jnp.float32)
+    diff = jnp.abs(pred.astype(jnp.float32) - gt.astype(jnp.float32)) * mask
+    return jnp.sum(diff) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def _grads(x: jnp.ndarray):
+    """Forward-difference spatial gradients of (B, H, W)."""
+    dx = x[:, :, 1:] - x[:, :, :-1]
+    dy = x[:, 1:, :] - x[:, :-1, :]
+    return dx, dy
+
+
+def gradient_loss(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_scales: int = 4,
+) -> jnp.ndarray:
+    """Multi-scale L1 on spatial gradients of pred vs gt.
+
+    A gradient pixel is valid only when *both* pixels of the finite
+    difference are valid.  Scales are built by 2x2 average-pooling the
+    (masked) maps — matching the common multi-scale gradient-matching
+    formulation; single-scale (num_scales=1) recovers the plain version.
+    """
+    pred = _squeeze(pred).astype(jnp.float32)
+    gt = _squeeze(gt).astype(jnp.float32)
+    mask = _squeeze(mask).astype(jnp.float32)
+
+    total = jnp.float32(0.0)
+    for s in range(num_scales):
+        if s > 0:
+            pred = _avgpool2(pred)
+            gt_w = _avgpool2(gt * mask)
+            m_w = _avgpool2(mask)
+            gt = gt_w / jnp.maximum(m_w, 1e-6)
+            mask = (m_w > 0.999).astype(jnp.float32)  # all 4 children valid
+        pdx, pdy = _grads(pred)
+        gdx, gdy = _grads(gt)
+        mdx = mask[:, :, 1:] * mask[:, :, :-1]
+        mdy = mask[:, 1:, :] * mask[:, :-1, :]
+        nx = jnp.maximum(jnp.sum(mdx), 1.0)
+        ny = jnp.maximum(jnp.sum(mdy), 1.0)
+        total = total + (
+            jnp.sum(jnp.abs(pdx - gdx) * mdx) / nx
+            + jnp.sum(jnp.abs(pdy - gdy) * mdy) / ny
+        )
+    return total / num_scales
+
+
+def ssim_loss(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    max_depth: float,
+    window: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """(1 - SSIM)/2 on depth normalized by max_depth."""
+    p = _squeeze(pred).astype(jnp.float32) / max_depth
+    g = _squeeze(gt).astype(jnp.float32) / max_depth
+    return (1.0 - ssim(p, g, max_val=1.0, window=window, sigma=sigma)) / 2.0
+
+
+def latent_loss(
+    feats_a: Sequence[jnp.ndarray], feats_b: Sequence[jnp.ndarray]
+) -> jnp.ndarray:
+    """Guidance feature-matching: mean L1 between feature pyramids.
+
+    Stage 2 trains the G-net latent (and optionally decoder features)
+    to match the frozen D-net's depth-domain features (SURVEY.md §2.3,
+    §3.2).  `feats_b` is treated as the (stop-gradient) target by the
+    caller.
+    """
+    total = jnp.float32(0.0)
+    for a, b in zip(feats_a, feats_b):
+        total = total + jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+    return total / max(len(feats_a), 1)
+
+
+def total_loss(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: LossConfig,
+    max_depth: float,
+    pred_latents: Sequence[jnp.ndarray] = (),
+    target_latents: Sequence[jnp.ndarray] = (),
+) -> Dict[str, jnp.ndarray]:
+    """Composite loss; returns dict with 'total' plus each term."""
+    terms = {
+        "recon": masked_l1(pred, gt, mask),
+        "grad": gradient_loss(pred, gt, mask, cfg.grad_scales),
+        "ssim": ssim_loss(pred, gt, max_depth, cfg.ssim_window, cfg.ssim_sigma),
+    }
+    total = (
+        cfg.w_recon * terms["recon"]
+        + cfg.w_grad * terms["grad"]
+        + cfg.w_ssim * terms["ssim"]
+    )
+    if pred_latents and target_latents:
+        terms["latent"] = latent_loss(pred_latents, target_latents)
+        total = total + cfg.w_latent * terms["latent"]
+    terms["total"] = total
+    return terms
+
+
+def _squeeze(x: jnp.ndarray) -> jnp.ndarray:
+    return x[..., 0] if x.ndim == 4 else x
+
+
+def _avgpool2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 average pool of (B, H, W); truncates odd trailing row/col."""
+    b, h, w = x.shape
+    h2, w2 = h // 2, w // 2
+    x = x[:, : h2 * 2, : w2 * 2].reshape(b, h2, 2, w2, 2)
+    return x.mean(axis=(2, 4))

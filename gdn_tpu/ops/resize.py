@@ -1,0 +1,43 @@
+"""Resize ops with pinned interpolation semantics.
+
+SURVEY.md §7 flags fp32 bit-comparable eval as a hard part because
+resize kernels differ between PIL/cv2 and jax.image.  We pin the exact
+semantics here and use these helpers everywhere (eval upsampling to GT
+resolution, resize-conv upsample blocks, augmentation) so the whole
+framework agrees on one interpolation:
+
+- bilinear: ``jax.image.resize(method="bilinear")`` == cv2
+  ``INTER_LINEAR`` with half-pixel centers (verified by the torch
+  oracle in tests/test_ops.py against
+  ``torch.nn.functional.interpolate(align_corners=False)``).
+- nearest: floor-based nearest with half-pixel centers.
+
+All resizes run in float32 on device regardless of the compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _resize(x: jnp.ndarray, size: Tuple[int, int], method: str) -> jnp.ndarray:
+    """Resize the (H, W) axes of (..., H, W, C) or (H, W) arrays."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    if x.ndim == 2:
+        out = jax.image.resize(x32, size, method=method)
+    else:
+        shape = (*x.shape[:-3], size[0], size[1], x.shape[-1])
+        out = jax.image.resize(x32, shape, method=method)
+    return out.astype(orig_dtype)
+
+
+def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    return _resize(x, size, "bilinear")
+
+
+def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    return _resize(x, size, "nearest")
