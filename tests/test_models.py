@@ -1,0 +1,133 @@
+"""Model shape/dtype/transfer contracts (SURVEY.md §4 unit tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdn_tpu.config import ModelConfig
+from gdn_tpu.models import Decoder, DtoDNet, Encoder, RtoDNet
+
+SMALL = ModelConfig(
+    image_size=(32, 64),
+    enc_channels=(8, 16, 32),
+    dec_channels=(16, 8, 8),
+    dtype="float32",
+    max_depth=80.0,
+)
+
+
+def _init(model, shape, seed=0):
+    x = jnp.zeros(shape, jnp.float32)
+    params = model.init(jax.random.PRNGKey(seed), x)
+    return params, x
+
+
+def test_dtod_shapes():
+    model = DtoDNet(cfg=SMALL)
+    params, x = _init(model, (2, 32, 64, 1))
+    out = model.apply(params, x)
+    assert out["depth"].shape == (2, 32, 64, 1)
+    assert out["depth"].dtype == jnp.float32
+    assert out["latent"].shape == (2, 4, 8, 32)  # /8 with 3 stages
+    assert len(out["dec_feats"]) == 3
+    assert len(out["skips"]) == 3
+    d = np.asarray(out["depth"])
+    assert d.min() >= 0.0 and d.max() <= SMALL.max_depth
+
+
+def test_rtod_shapes():
+    model = RtoDNet(cfg=SMALL)
+    params, x = _init(model, (2, 32, 64, 3))
+    out = model.apply(params, x)
+    assert out["depth"].shape == (2, 32, 64, 1)
+    assert out["latent"].shape == (2, 4, 8, 32)
+
+
+def test_feature_contract_matches_across_stages():
+    """G-net features must be zip-compatible with D-net features for the
+    guidance loss (SURVEY.md §2.3 feature contract)."""
+    d_model, g_model = DtoDNet(cfg=SMALL), RtoDNet(cfg=SMALL)
+    dp, dx = _init(d_model, (1, 32, 64, 1))
+    gp, gx = _init(g_model, (1, 32, 64, 3))
+    do, go = d_model.apply(dp, dx), g_model.apply(gp, gx)
+    assert do["latent"].shape == go["latent"].shape
+    for a, b in zip(do["dec_feats"], go["dec_feats"]):
+        assert a.shape == b.shape
+
+
+def test_decoder_params_transferable():
+    """Decoder param subtrees must be shape-identical between stages so
+    stage-1 -> stage-2 transfer is a plain copy."""
+    d_model, g_model = DtoDNet(cfg=SMALL), RtoDNet(cfg=SMALL)
+    dp, _ = _init(d_model, (1, 32, 64, 1))
+    gp, _ = _init(g_model, (1, 32, 64, 3))
+    d_dec = dp["params"]["decoder"]
+    g_dec = gp["params"]["decoder"]
+    d_shapes = jax.tree.map(lambda a: a.shape, d_dec)
+    g_shapes = jax.tree.map(lambda a: a.shape, g_dec)
+    assert d_shapes == g_shapes
+
+
+def test_odd_resolution_roundtrip():
+    """NYU-style sizes that are not multiples of 2^k must round-trip
+    exactly (resize-to-skip-size decoder)."""
+    cfg = ModelConfig(
+        image_size=(57, 76), enc_channels=(4, 8, 16), dec_channels=(8, 4, 4),
+        dtype="float32", max_depth=10.0,
+    )
+    model = RtoDNet(cfg=cfg)
+    params, x = _init(model, (1, 57, 76, 3))
+    out = model.apply(params, x)
+    assert out["depth"].shape == (1, 57, 76, 1)
+
+
+def test_deconv_upsample_variant():
+    cfg = ModelConfig(
+        image_size=(32, 64), enc_channels=(4, 8), dec_channels=(8, 4),
+        dtype="float32", upsample="deconv",
+    )
+    model = DtoDNet(cfg=cfg)
+    params, x = _init(model, (1, 32, 64, 1))
+    out = model.apply(params, x)
+    assert out["depth"].shape == (1, 32, 64, 1)
+
+
+def test_add_fusion_variant():
+    cfg = ModelConfig(
+        image_size=(32, 64), enc_channels=(4, 8), dec_channels=(8, 4),
+        dtype="float32", fusion="add",
+    )
+    model = DtoDNet(cfg=cfg)
+    params, x = _init(model, (1, 32, 64, 1))
+    assert model.apply(params, x)["depth"].shape == (1, 32, 64, 1)
+
+
+def test_bf16_compute_fp32_params_and_output():
+    cfg = ModelConfig(
+        image_size=(32, 64), enc_channels=(4, 8), dec_channels=(8, 4),
+        dtype="bfloat16",
+    )
+    model = DtoDNet(cfg=cfg)
+    params, x = _init(model, (1, 32, 64, 1))
+    for leaf in jax.tree.leaves(params):
+        assert leaf.dtype == jnp.float32
+    out = model.apply(params, x)
+    assert out["depth"].dtype == jnp.float32  # head forces fp32
+    assert out["latent"].dtype == jnp.bfloat16
+
+
+def test_model_is_jittable_and_differentiable():
+    model = DtoDNet(cfg=SMALL)
+    params, x = _init(model, (1, 32, 64, 1))
+    x = jnp.full_like(x, 10.0)
+
+    @jax.jit
+    def loss_fn(p):
+        out = model.apply(p, x)
+        return jnp.mean((out["depth"] - x) ** 2)
+
+    g = jax.grad(loss_fn)(params)
+    flat = [np.asarray(l) for l in jax.tree.leaves(g)]
+    assert all(np.all(np.isfinite(a)) for a in flat)
+    assert any(np.abs(a).sum() > 0 for a in flat)
