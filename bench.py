@@ -1,0 +1,88 @@
+"""Headline benchmark: stage-2 guided training throughput on one chip.
+
+Measures images/sec/chip of the FULL guided train step (frozen D-net
+guidance forward + G-net forward/backward + Adam update, bf16 compute)
+at the reference's KITTI resolution 128x416, with on-device synthetic
+data (zero host IO, so the number is the chip, not the loader).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: BASELINE.json has no published reference numbers
+(`published: {}` — the reference checkout is empty, SURVEY.md §0).
+The driver-authored target is >=5x the PyTorch reference per chip; we
+report the ratio against ESTIMATED_REFERENCE_IMGS_PER_SEC, an assumed
+~100 imgs/sec for the reference's ~8M-param CNN pair on its era GPU —
+an explicit, documented assumption to replace with a measured number.
+"""
+
+import json
+import time
+
+ESTIMATED_REFERENCE_IMGS_PER_SEC = 100.0
+
+BATCH = 32
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import jax
+
+    from gdn_tpu.config import kitti_config
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+    from gdn_tpu.data.synthetic import synthetic_batch
+    from gdn_tpu.models import DtoDNet, RtoDNet
+    from gdn_tpu.train import create_state, make_stage2_step
+
+    cfg = kitti_config(**{"data.batch_size": BATCH, "train.ckpt_dir": ""})
+    h, w = cfg.model.image_size
+
+    d_state = create_state(DtoDNet(cfg=cfg.model), (1, h, w, 1), cfg.train, 1)
+    g_state = create_state(
+        RtoDNet(cfg=cfg.model), (1, h, w, 3), cfg.train, 1,
+        freeze_decoder=True,
+    )
+    g_state = g_state.replace(
+        params=transfer_stage1_decoder(g_state.params, d_state.params)
+    )
+    step = make_stage2_step(cfg, mesh=None)
+
+    key = jax.random.PRNGKey(0)
+    batches = []
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        batches.append(
+            synthetic_batch(sub, BATCH, h, w, cfg.model.max_depth)
+        )
+    jax.block_until_ready(batches)
+
+    for i in range(WARMUP):
+        g_state, terms = step(g_state, d_state.params, batches[i % 4])
+    float(terms["total"])  # force completion
+
+    # NOTE: jax.block_until_ready returns early through this remote-TPU
+    # tunnel (observed 50k "imgs/s"), so force completion by fetching a
+    # scalar that depends on the whole chained step sequence.
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        g_state, terms = step(g_state, d_state.params, batches[i % 4])
+    float(terms["total"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "kitti_stage2_train_imgs_per_sec_per_chip",
+                "value": round(imgs_per_sec, 2),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(
+                    imgs_per_sec / ESTIMATED_REFERENCE_IMGS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+from gdn_tpu.data.synthetic import SyntheticDataset, synthetic_batch

@@ -1,0 +1,6 @@
+from gdn_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicated,
+    shard_batch,
+)

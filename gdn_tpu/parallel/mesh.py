@@ -1,0 +1,63 @@
+"""Device mesh and sharding for data-parallel training.
+
+The reference's only parallelism is single-process multi-GPU
+``nn.DataParallel`` (scatter/replicate/gather each step — SURVEY.md
+§2.10/§3.5).  The TPU-native replacement is a 1-D ``jax.sharding.Mesh``
+over all chips: the global batch is sharded along the "data" axis,
+parameters are replicated, and the jitted train step's gradient
+reduction lowers to an XLA all-reduce (psum) over ICI — no per-step
+host round-trips, no gather to a master chip (SURVEY.md §2.11).
+
+The same code runs on N virtual CPU devices
+(``--xla_force_host_platform_device_count=N``) for tests and the
+driver's multichip dry-run.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(
+    num_devices: int = 0,
+    axis_name: str = DATA_AXIS,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """1-D data-parallel mesh over the first `num_devices` devices
+    (0 = all)."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if num_devices:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Sharding for parameters/opt state: fully replicated."""
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Sharding for batches: leading (batch) dim split across chips."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
+    """Place a host batch pytree onto the mesh, batch-dim sharded.
+
+    Global batch size must divide the mesh size.
+    """
+    sharding = batch_sharding(mesh, axis_name)
+
+    def _put(x):
+        assert x.shape[0] % mesh.size == 0, (
+            f"global batch {x.shape[0]} not divisible by mesh size {mesh.size}"
+        )
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(_put, batch)

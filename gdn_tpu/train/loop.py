@@ -1,0 +1,121 @@
+"""Epoch-based training loops for both stages (SURVEY.md §2.6).
+
+``train_stage1`` pretrains the D-net on GT depth; ``train_stage2``
+transfers the stage-1 decoder into a fresh G-net, freezes it (optax
+mask), and trains the RGB encoder + fusion path with the full loss
+incl. the guidance term.  Per-step scalars (loss terms, imgs/sec/chip)
+go through utils.logging; checkpoints per epoch through orbax.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from gdn_tpu import checkpoint as ckpt
+from gdn_tpu.config import Config
+from gdn_tpu.models import DtoDNet, RtoDNet
+from gdn_tpu.parallel.mesh import create_mesh, shard_batch
+from gdn_tpu.train.state import create_state
+from gdn_tpu.train.steps import make_stage1_step, make_stage2_step
+from gdn_tpu.utils.logging import MetricLogger
+
+
+def _epoch_loop(
+    step_fn,
+    state,
+    data_iter,
+    steps: int,
+    logger: MetricLogger,
+    batch_size: int,
+    log_every: int,
+    mesh=None,
+    extra_args=(),
+):
+    t_start = time.perf_counter()
+    for i in range(steps):
+        batch = next(data_iter)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        state, terms = step_fn(state, *extra_args, batch)
+        if (i + 1) % log_every == 0 or i == steps - 1:
+            terms = jax.tree.map(float, jax.device_get(terms))
+            elapsed = time.perf_counter() - t_start
+            imgs_per_sec = batch_size * (i + 1) / elapsed
+            logger.log(
+                step=int(state.step), imgs_per_sec=imgs_per_sec, **terms
+            )
+    return state
+
+
+def train_stage1(
+    cfg: Config,
+    data_iter: Iterable[Dict[str, Any]],
+    use_mesh: bool = True,
+    epochs: Optional[int] = None,
+    state=None,
+    logger: Optional[MetricLogger] = None,
+):
+    """D-net pretraining.  Returns the final TrainState."""
+    h, w = cfg.model.image_size
+    mesh = create_mesh(cfg.mesh.num_devices) if use_mesh else None
+    model = DtoDNet(cfg=cfg.model)
+    if state is None:
+        state = create_state(
+            model, (1, h, w, 1), cfg.train, cfg.train.steps_per_epoch
+        )
+    step_fn = make_stage1_step(cfg, mesh)
+    logger = logger or MetricLogger(prefix="stage1")
+    data_iter = iter(data_iter)
+    for epoch in range(epochs if epochs is not None else cfg.train.epochs):
+        state = _epoch_loop(
+            step_fn, state, data_iter, cfg.train.steps_per_epoch, logger,
+            cfg.data.batch_size, cfg.train.log_every, mesh,
+        )
+        if cfg.train.ckpt_dir:
+            ckpt.save_checkpoint(
+                f"{cfg.train.ckpt_dir}/stage1", int(state.step), state,
+                cfg.train.keep_ckpts,
+            )
+    return state
+
+
+def train_stage2(
+    cfg: Config,
+    data_iter: Iterable[Dict[str, Any]],
+    d_params: Any,
+    use_mesh: bool = True,
+    epochs: Optional[int] = None,
+    state=None,
+    logger: Optional[MetricLogger] = None,
+):
+    """Guided G-net training: transfer + freeze the stage-1 decoder,
+    train with guidance targets from the frozen D-net."""
+    h, w = cfg.model.image_size
+    mesh = create_mesh(cfg.mesh.num_devices) if use_mesh else None
+    model = RtoDNet(cfg=cfg.model)
+    if state is None:
+        state = create_state(
+            model, (1, h, w, 3), cfg.train, cfg.train.steps_per_epoch,
+            freeze_decoder=cfg.train.freeze_decoder,
+        )
+        transferred = ckpt.transfer_stage1_decoder(state.params, d_params)
+        state = state.replace(params=transferred)
+    step_fn = make_stage2_step(cfg, mesh)
+    logger = logger or MetricLogger(prefix="stage2")
+    data_iter = iter(data_iter)
+    for epoch in range(epochs if epochs is not None else cfg.train.epochs):
+        state = _epoch_loop(
+            step_fn, state, data_iter, cfg.train.steps_per_epoch, logger,
+            cfg.data.batch_size, cfg.train.log_every, mesh,
+            extra_args=(d_params,),
+        )
+        if cfg.train.ckpt_dir:
+            ckpt.save_checkpoint(
+                f"{cfg.train.ckpt_dir}/stage2", int(state.step), state,
+                cfg.train.keep_ckpts,
+            )
+    return state

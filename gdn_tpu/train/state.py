@@ -1,0 +1,90 @@
+"""Train state and optimizer construction.
+
+Mirrors the reference trainers' optimization surface (SURVEY.md §2.6):
+Adam with a step-decay LR schedule, per-stage parameter selection —
+stage 2 freezes the transferred decoder, which in this functional
+framework is an ``optax.multi_transform`` that routes decoder leaves to
+``set_to_zero`` (the SURVEY.md §7 'optax masked updates' hard part).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from gdn_tpu.config import TrainConfig
+
+
+class TrainState(train_state.TrainState):
+    """Standard flax TrainState; kept as a named subclass for clarity
+    and future extension (EMA, etc.)."""
+
+
+def lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
+    """lr * gamma^(epoch // decay_epochs), the reference's step decay."""
+    return optax.exponential_decay(
+        init_value=cfg.lr,
+        transition_steps=cfg.decay_epochs * steps_per_epoch,
+        decay_rate=cfg.decay_gamma,
+        staircase=True,
+    )
+
+
+def create_optimizer(
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    freeze_decoder: bool = False,
+) -> optax.GradientTransformation:
+    schedule = lr_schedule(cfg, steps_per_epoch)
+    parts = []
+    if cfg.grad_clip:
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip))
+    if cfg.weight_decay:
+        parts.append(
+            optax.adamw(
+                schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
+                weight_decay=cfg.weight_decay,
+            )
+        )
+    else:
+        parts.append(optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps))
+    tx = optax.chain(*parts)
+    if freeze_decoder:
+        def label_fn(params):
+            return {
+                k: ("frozen" if k == "decoder" else "trainable")
+                for k in params
+            }
+
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()}, label_fn
+        )
+    return tx
+
+
+def create_state(
+    model: nn.Module,
+    input_shape: tuple,
+    cfg: TrainConfig,
+    steps_per_epoch: int,
+    freeze_decoder: bool = False,
+    params: Optional[Any] = None,
+    rng: Optional[jax.Array] = None,
+) -> TrainState:
+    """Initialize params (unless given, e.g. transferred from stage 1)
+    and build the train state."""
+    if params is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        # jit the init: tracing the full-res model op-by-op on device is
+        # slow (observed ~2 min unjitted on TPU at 128x416).
+        variables = jax.jit(model.init)(
+            rng, jnp.zeros(input_shape, jnp.float32)
+        )
+        params = variables["params"]
+    tx = create_optimizer(cfg, steps_per_epoch, freeze_decoder)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)

@@ -1,0 +1,135 @@
+"""Jitted, mesh-aware train/eval steps for both stages.
+
+Replaces the reference's per-batch Python loops + autograd + DataParallel
+scatter/gather (SURVEY.md §3.1/§3.2/§3.5) with single fused XLA programs:
+forward + loss + backward + Adam update compile into one executable per
+stage; under a multi-chip mesh the batch is sharded on "data", params
+are replicated, and XLA inserts the gradient all-reduce over ICI.
+
+Batches are dicts:
+  depth: (B, H, W, 1) float32 metric depth (GT)
+  mask:  (B, H, W, 1) float32 validity
+  rgb:   (B, H, W, 3) float32 in [0, 1]  (stage 2 / eval)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from gdn_tpu.config import Config
+from gdn_tpu.losses import total_loss
+from gdn_tpu.parallel.mesh import batch_sharding, replicated
+from gdn_tpu.train.state import TrainState
+
+Batch = Dict[str, jnp.ndarray]
+
+
+def _stage1_loss(params, apply_fn, batch: Batch, cfg: Config):
+    out = apply_fn({"params": params}, batch["depth"])
+    terms = total_loss(
+        out["depth"], batch["depth"], batch["mask"],
+        cfg.loss, cfg.model.max_depth,
+    )
+    return terms["total"], terms
+
+
+def _stage2_loss(params, d_params, apply_fn, d_apply_fn, batch: Batch, cfg: Config):
+    # Frozen D-net runs on GT depth (no grad) to produce guidance targets.
+    d_out = d_apply_fn({"params": d_params}, batch["depth"])
+    g_out = apply_fn({"params": params}, batch["rgb"])
+    stop = jax.lax.stop_gradient
+    terms = total_loss(
+        g_out["depth"], batch["depth"], batch["mask"],
+        cfg.loss, cfg.model.max_depth,
+        pred_latents=[g_out["latent"], *g_out["dec_feats"]],
+        target_latents=[stop(d_out["latent"]), *map(stop, d_out["dec_feats"])],
+    )
+    return terms["total"], terms
+
+
+def make_stage1_step(
+    cfg: Config, mesh: Optional[Mesh] = None
+) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted stage-1 (D-net) train step.
+
+    With a mesh: donated replicated state, batch sharded on "data"."""
+
+    def step(state: TrainState, batch: Batch):
+        grad_fn = jax.value_and_grad(_stage1_loss, has_aux=True)
+        (_, terms), grads = grad_fn(state.params, state.apply_fn, batch, cfg)
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, terms
+
+    return _jit_step(step, mesh, donate_state=True)
+
+
+def make_stage2_step(
+    cfg: Config, mesh: Optional[Mesh] = None
+) -> Callable[
+    [TrainState, Any, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]
+]:
+    """Build the jitted stage-2 (G-net) train step.
+
+    Signature: step(state, d_params, batch).  ``d_params`` is the frozen
+    stage-1 D-net parameter tree (guidance targets); the G-net decoder
+    inside ``state`` is additionally frozen via the optimizer mask when
+    cfg.train.freeze_decoder.
+    """
+    from gdn_tpu.models import DtoDNet
+
+    d_apply = DtoDNet(cfg=cfg.model).apply
+
+    def step(state: TrainState, d_params, batch: Batch):
+        grad_fn = jax.value_and_grad(_stage2_loss, has_aux=True)
+        (_, terms), grads = grad_fn(
+            state.params, d_params, state.apply_fn, d_apply, batch, cfg
+        )
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, terms
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    # `rep`/`data` act as pytree prefixes over the state/batch subtrees.
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, data),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_forward(cfg: Config, model=None) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
+    """Jitted eval forward: rgb (B,H,W,3) -> depth (B,H,W,1) fp32.
+
+    Runs the G-net at train resolution; the eval harness resizes to GT
+    resolution afterwards (SURVEY.md §3.3).
+    """
+    from gdn_tpu.models import RtoDNet
+
+    model = model or RtoDNet(cfg=cfg.model)
+
+    @jax.jit
+    def forward(params, rgb):
+        return model.apply({"params": params}, rgb)["depth"]
+
+    return forward
+
+
+def _jit_step(step, mesh: Optional[Mesh], donate_state: bool):
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate_state else ())
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, data),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate_state else (),
+    )

@@ -1,0 +1,41 @@
+"""Structured per-step metric logging (SURVEY.md §5 metrics row).
+
+The reference prints loss lines to stdout; here scalars go to stdout
+AND an optional JSONL file (machine-readable for dashboards /
+TensorBoard conversion) with wall-clock and step attached.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from typing import IO, Optional
+
+
+class MetricLogger:
+    def __init__(
+        self,
+        prefix: str = "",
+        jsonl_path: Optional[str] = None,
+        stream: IO = sys.stdout,
+    ):
+        self.prefix = prefix
+        self.stream = stream
+        self._jsonl = open(jsonl_path, "a") if jsonl_path else None
+        self._t0 = time.time()
+
+    def log(self, step: int, **scalars: float) -> None:
+        msg = " ".join(
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in scalars.items()
+        )
+        print(f"[{self.prefix}] step={step} {msg}", file=self.stream, flush=True)
+        if self._jsonl:
+            rec = {"t": time.time() - self._t0, "step": step, **scalars}
+            self._jsonl.write(json.dumps(rec) + "\n")
+            self._jsonl.flush()
+
+    def close(self) -> None:
+        if self._jsonl:
+            self._jsonl.close()

@@ -1,0 +1,179 @@
+"""Integration tests: train steps run, loss decreases, stage-1 ->
+stage-2 transfer works, checkpoints round-trip (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gdn_tpu.config import Config, DataConfig, LossConfig, ModelConfig, TrainConfig
+from gdn_tpu.data.synthetic import SyntheticDataset, synthetic_batch
+from gdn_tpu.models import DtoDNet, RtoDNet
+from gdn_tpu.train import (
+    create_state,
+    make_eval_forward,
+    make_stage1_step,
+    make_stage2_step,
+)
+
+TINY = Config(
+    model=ModelConfig(
+        image_size=(32, 64), enc_channels=(8, 16), dec_channels=(16, 8),
+        dtype="float32", max_depth=80.0,
+    ),
+    loss=LossConfig(grad_scales=2),
+    data=DataConfig(dataset="synthetic", batch_size=8),
+    train=TrainConfig(lr=1e-3, steps_per_epoch=10, ckpt_dir=""),
+)
+
+
+def _batch(seed=0, b=8):
+    return synthetic_batch(jax.random.PRNGKey(seed), b, 32, 64, 80.0)
+
+
+def _fresh_d_state():
+    model = DtoDNet(cfg=TINY.model)
+    return create_state(model, (1, 32, 64, 1), TINY.train, 10)
+
+
+@pytest.fixture()
+def d_state():
+    # Fresh per test: the train step donates the state argument, so a
+    # shared fixture's buffers would be deleted by the first test.
+    return _fresh_d_state()
+
+
+def test_stage1_loss_decreases(d_state):
+    step = make_stage1_step(TINY, mesh=None)
+    batch = _batch()
+    state = d_state
+    first = last = None
+    for i in range(30):
+        state, terms = step(state, batch)
+        if first is None:
+            first = float(terms["total"])
+        last = float(terms["total"])
+    assert np.isfinite(last)
+    assert last < first * 0.7, (first, last)
+
+
+def test_stage2_transfer_freeze_and_train(d_state):
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+
+    g_model = RtoDNet(cfg=TINY.model)
+    g_state = create_state(
+        g_model, (1, 32, 64, 3), TINY.train, 10, freeze_decoder=True
+    )
+    g_state = g_state.replace(
+        params=transfer_stage1_decoder(g_state.params, d_state.params)
+    )
+    dec_before = jax.tree.map(np.asarray, g_state.params["decoder"])
+    enc_before = jax.tree.map(np.asarray, g_state.params["encoder"])
+
+    step = make_stage2_step(TINY, mesh=None)
+    batch = _batch(1)
+    first = last = None
+    for i in range(20):
+        g_state, terms = step(g_state, d_state.params, batch)
+        if first is None:
+            first = float(terms["total"])
+        last = float(terms["total"])
+    assert "latent" in terms
+    assert last < first, (first, last)
+
+    # decoder frozen bit-exactly, encoder trained
+    dec_after = jax.tree.map(np.asarray, g_state.params["decoder"])
+    for a, b in zip(jax.tree.leaves(dec_before), jax.tree.leaves(dec_after)):
+        np.testing.assert_array_equal(a, b)
+    changed = [
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(enc_before), jax.tree.leaves(g_state.params["encoder"]))
+    ]
+    assert any(changed)
+
+
+def test_transfer_shape_mismatch_raises(d_state):
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+
+    other = Config(
+        model=ModelConfig(
+            image_size=(32, 64), enc_channels=(4, 8), dec_channels=(8, 4),
+            dtype="float32",
+        ),
+        train=TINY.train,
+    )
+    g_state = create_state(RtoDNet(cfg=other.model), (1, 32, 64, 3), other.train, 10)
+    with pytest.raises(ValueError, match="not shape-compatible"):
+        transfer_stage1_decoder(g_state.params, d_state.params)
+
+
+def test_data_parallel_stage1_matches_single_device(d_state):
+    """Mesh-sharded step must agree with the single-device step (same
+    math, batch split over 8 CPU devices + ICI-style psum)."""
+    from gdn_tpu.parallel.mesh import create_mesh, shard_batch
+
+    mesh = create_mesh(8)
+    batch = _batch(2)
+    step_single = make_stage1_step(TINY, mesh=None)
+    step_mesh = make_stage1_step(TINY, mesh=mesh)
+
+    # The step donates its state arg, so give each path its own copy.
+    state_a = jax.tree.map(jnp.copy, d_state)
+    state_b = jax.tree.map(jnp.copy, d_state)
+    s1, t1 = step_single(state_a, batch)
+    s8, t8 = step_mesh(state_b, shard_batch(batch, mesh))
+    assert float(t1["total"]) == pytest.approx(float(t8["total"]), rel=1e-5)
+    l1 = jax.tree.leaves(s1.params)
+    l8 = jax.tree.leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_synthetic_dataset_shapes():
+    it = iter(SyntheticDataset(batch_size=4, height=32, width=64))
+    b = next(it)
+    assert b["rgb"].shape == (4, 32, 64, 3)
+    assert b["depth"].shape == (4, 32, 64, 1)
+    assert b["mask"].shape == (4, 32, 64, 1)
+    assert float(b["depth"].max()) <= 80.0
+    assert float(b["rgb"].min()) >= 0.0 and float(b["rgb"].max()) <= 1.0
+    b2 = next(it)
+    assert not np.array_equal(np.asarray(b["depth"]), np.asarray(b2["depth"]))
+
+
+def test_checkpoint_roundtrip(tmp_path, d_state):
+    from gdn_tpu.checkpoint import load_params, restore_checkpoint, save_checkpoint
+
+    step = make_stage1_step(TINY, mesh=None)
+    state, _ = step(d_state, _batch())
+    save_checkpoint(str(tmp_path / "ck"), 1, state)
+
+    fresh = create_state(DtoDNet(cfg=TINY.model), (1, 32, 64, 1), TINY.train, 10)
+    restored = restore_checkpoint(str(tmp_path / "ck"), fresh)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    params = load_params(str(tmp_path / "ck"), fresh.params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_harness_on_synthetic(d_state):
+    from gdn_tpu.evaluate import evaluate
+
+    g_model = RtoDNet(cfg=TINY.model)
+    g_state = create_state(g_model, (1, 32, 64, 3), TINY.train, 10)
+    fwd = make_eval_forward(TINY, g_model)
+
+    def eval_ds():
+        rng = np.random.default_rng(0)
+        for _ in range(3):
+            b = _batch(5, b=1)
+            gt = rng.uniform(1, 79, (1, 96, 192)).astype(np.float32)
+            yield {"rgb": np.asarray(b["rgb"]), "gt": gt}
+
+    cfg = Config(model=TINY.model, eval=TINY.eval, train=TINY.train)
+    out = evaluate(cfg, g_state.params, fwd, eval_ds(), verbose=False)
+    assert set(out) >= {"abs_rel", "rmse", "a1", "fps"}
+    assert np.isfinite(out["rmse"])
