@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from gdn_tpu.config import LossConfig
@@ -38,6 +39,42 @@ def _grads(x: jnp.ndarray):
     return dx, dy
 
 
+def _gradient_scale_losses(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_scales: int,
+    skip_first: bool = False,
+):
+    """Per-scale gradient L1 terms (list of scalars), fine to coarse.
+
+    With ``skip_first`` the scale-0 term is omitted (computed instead by
+    the fused Pallas kernel) but the pooling chain is identical, so the
+    two backends sum to the same multi-scale loss.
+    """
+    terms = []
+    for s in range(num_scales):
+        if s > 0:
+            pred = _avgpool2(pred)
+            gt_w = _avgpool2(gt * mask)
+            m_w = _avgpool2(mask)
+            gt = gt_w / jnp.maximum(m_w, 1e-6)
+            mask = (m_w > 0.999).astype(jnp.float32)  # all 4 children valid
+        if s == 0 and skip_first:
+            continue
+        pdx, pdy = _grads(pred)
+        gdx, gdy = _grads(gt)
+        mdx = mask[:, :, 1:] * mask[:, :, :-1]
+        mdy = mask[:, 1:, :] * mask[:, :-1, :]
+        nx = jnp.maximum(jnp.sum(mdx), 1.0)
+        ny = jnp.maximum(jnp.sum(mdy), 1.0)
+        terms.append(
+            jnp.sum(jnp.abs(pdx - gdx) * mdx) / nx
+            + jnp.sum(jnp.abs(pdy - gdy) * mdy) / ny
+        )
+    return terms
+
+
 def gradient_loss(
     pred: jnp.ndarray,
     gt: jnp.ndarray,
@@ -54,26 +91,8 @@ def gradient_loss(
     pred = _squeeze(pred).astype(jnp.float32)
     gt = _squeeze(gt).astype(jnp.float32)
     mask = _squeeze(mask).astype(jnp.float32)
-
-    total = jnp.float32(0.0)
-    for s in range(num_scales):
-        if s > 0:
-            pred = _avgpool2(pred)
-            gt_w = _avgpool2(gt * mask)
-            m_w = _avgpool2(mask)
-            gt = gt_w / jnp.maximum(m_w, 1e-6)
-            mask = (m_w > 0.999).astype(jnp.float32)  # all 4 children valid
-        pdx, pdy = _grads(pred)
-        gdx, gdy = _grads(gt)
-        mdx = mask[:, :, 1:] * mask[:, :, :-1]
-        mdy = mask[:, 1:, :] * mask[:, :-1, :]
-        nx = jnp.maximum(jnp.sum(mdx), 1.0)
-        ny = jnp.maximum(jnp.sum(mdy), 1.0)
-        total = total + (
-            jnp.sum(jnp.abs(pdx - gdx) * mdx) / nx
-            + jnp.sum(jnp.abs(pdy - gdy) * mdy) / ny
-        )
-    return total / num_scales
+    terms = _gradient_scale_losses(pred, gt, mask, num_scales)
+    return sum(terms) / num_scales
 
 
 def ssim_loss(
@@ -114,12 +133,37 @@ def total_loss(
     pred_latents: Sequence[jnp.ndarray] = (),
     target_latents: Sequence[jnp.ndarray] = (),
 ) -> Dict[str, jnp.ndarray]:
-    """Composite loss; returns dict with 'total' plus each term."""
-    terms = {
-        "recon": masked_l1(pred, gt, mask),
-        "grad": gradient_loss(pred, gt, mask, cfg.grad_scales),
-        "ssim": ssim_loss(pred, gt, max_depth, cfg.ssim_window, cfg.ssim_sigma),
-    }
+    """Composite loss; returns dict with 'total' plus each term.
+
+    When ``cfg.use_pallas`` and running on TPU, the recon + scale-0
+    gradient + SSIM work comes from the single fused Pallas kernel
+    (kernels/fused_loss.py); the cheap coarser gradient scales (4x/16x
+    fewer pixels) stay on the jnp path.  Both backends are numerically
+    equivalent (tests/test_kernels.py).
+    """
+    if cfg.use_pallas and jax.default_backend() == "tpu":
+        from gdn_tpu.kernels.fused_loss import fused_loss_terms
+
+        fused = fused_loss_terms(
+            pred, gt, mask, max_depth, cfg.ssim_window, cfg.ssim_sigma
+        )
+        p3 = _squeeze(pred).astype(jnp.float32)
+        g3 = _squeeze(gt).astype(jnp.float32)
+        m3 = _squeeze(mask).astype(jnp.float32)
+        coarse = _gradient_scale_losses(
+            p3, g3, m3, cfg.grad_scales, skip_first=True
+        )
+        terms = {
+            "recon": fused["recon"],
+            "grad": (fused["grad0"] + sum(coarse)) / cfg.grad_scales,
+            "ssim": fused["ssim"],
+        }
+    else:
+        terms = {
+            "recon": masked_l1(pred, gt, mask),
+            "grad": gradient_loss(pred, gt, mask, cfg.grad_scales),
+            "ssim": ssim_loss(pred, gt, max_depth, cfg.ssim_window, cfg.ssim_sigma),
+        }
     total = (
         cfg.w_recon * terms["recon"]
         + cfg.w_grad * terms["grad"]
