@@ -1,0 +1,120 @@
+"""Shared CLI surface (SURVEY.md §2.13/§5 config row).
+
+The reference exposes per-script argparse flags; these helpers mirror
+that flag surface (``--mode DtoD|RtoD``, ``--dataset kitti|nyu``,
+``--data_path``, ``--epochs``, ``--batch_size``, ``--lr``,
+``--model_dir`` ...) while mapping everything onto the single Config
+dataclass tree used internally.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from gdn_tpu.config import Config, kitti_config, nyu_config, _with
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dataset", choices=["kitti", "nyu", "synthetic"],
+                   default="kitti")
+    p.add_argument("--data_path", type=str, default="")
+    p.add_argument("--height", type=int, default=None,
+                   help="train height (default: dataset native)")
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--max_depth", type=float, default=None)
+    p.add_argument("--model_dir", type=str, default="checkpoints",
+                   help="checkpoint directory")
+    p.add_argument("--no_pallas", action="store_true",
+                   help="disable Pallas kernels (XLA fallback)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", choices=["default", "cpu", "tpu"],
+                   default="default",
+                   help="force a JAX backend (cpu is useful for smoke "
+                        "runs; 'default' keeps the environment's choice)")
+
+
+def apply_platform(args: argparse.Namespace) -> None:
+    """Must run before any jax computation.  Uses jax.config (env vars
+    are too late in environments whose sitecustomize pre-imports jax)."""
+    if getattr(args, "platform", "default") != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
+def add_train_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--mode", choices=["DtoD", "RtoD"], default="DtoD",
+                   help="stage 1 (depth autoencoder) or stage 2 (guided)")
+    p.add_argument("--train_list", type=str, default="train.txt")
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--decay_epochs", type=int, default=20)
+    p.add_argument("--decay_gamma", type=float, default=0.5)
+    p.add_argument("--steps_per_epoch", type=int, default=1000,
+                   help="steps per epoch for synthetic/unbounded data")
+    p.add_argument("--stage1_ckpt", type=str, default="",
+                   help="(RtoD) stage-1 checkpoint dir; default "
+                        "<model_dir>/stage1")
+    p.add_argument("--no_freeze_decoder", action="store_true")
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="mesh size (0 = all devices)")
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint of this stage")
+
+
+def add_eval_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--val_list", type=str, default="val.txt")
+    p.add_argument("--cap", type=float, default=None,
+                   help="depth cap in meters (KITTI: 80 or 50; NYU: 10)")
+    p.add_argument("--crop", choices=["garg", "eigen", "none"], default=None)
+    p.add_argument("--median_scaling", action="store_true")
+    p.add_argument("--max_images", type=int, default=None)
+
+
+def build_config(args: argparse.Namespace) -> Config:
+    cfg = nyu_config() if args.dataset == "nyu" else kitti_config()
+    over = {
+        "data.dataset": args.dataset,
+        "data.data_path": args.data_path,
+        "train.seed": args.seed,
+        "train.ckpt_dir": args.model_dir,
+    }
+    model = cfg.model
+    import dataclasses
+
+    if args.height or args.width:
+        h = args.height or model.image_size[0]
+        w = args.width or model.image_size[1]
+        model = dataclasses.replace(model, image_size=(h, w))
+    if args.max_depth:
+        model = dataclasses.replace(model, max_depth=args.max_depth)
+    if getattr(args, "no_pallas", False):
+        model = dataclasses.replace(model, use_pallas=False)
+        over["loss.use_pallas"] = False
+    cfg = dataclasses.replace(cfg, model=model)
+
+    if hasattr(args, "epochs"):
+        over.update({
+            "data.train_list": args.train_list,
+            "data.batch_size": args.batch_size,
+            "train.mode": args.mode,
+            "train.epochs": args.epochs,
+            "train.lr": args.lr,
+            "train.decay_epochs": args.decay_epochs,
+            "train.decay_gamma": args.decay_gamma,
+            "train.steps_per_epoch": args.steps_per_epoch,
+            "train.freeze_decoder": not args.no_freeze_decoder,
+            "train.log_every": args.log_every,
+            "mesh.num_devices": args.num_devices,
+        })
+    if hasattr(args, "val_list"):
+        over["data.val_list"] = args.val_list
+        if args.cap is not None:
+            over["eval.cap"] = args.cap
+        if args.crop is not None:
+            over["eval.crop"] = args.crop
+        if args.median_scaling:
+            over["eval.median_scaling"] = True
+    return _with(cfg, **over)

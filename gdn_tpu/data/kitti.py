@@ -1,0 +1,175 @@
+"""KITTI loaders (SURVEY.md §2.1).
+
+Host side does only decode + resize-to-train-size; all augmentation is
+the jitted on-device graph (data/augment.py).  Two loaders mirror the
+reference's surfaces:
+
+- ``KittiTrainDataset``: SfMLearner-style prepared training data at
+  128x416 — a list file whose lines are ``<rgb_path> <depth_path>``
+  (paths relative to ``data_path``); depth may be ``.npy`` (float32
+  meters) or 16-bit PNG (KITTI depth-annotation convention, value/256 m).
+- ``KittiEvalDataset``: Eigen test split (697 images) — yields the RGB
+  resized to train resolution plus the *raw-resolution* GT depth map
+  (from .npy/.png, or projected from velodyne via data/velodyne.py),
+  matching the protocol of upsampling predictions to GT size before
+  scoring (SURVEY.md §2.7/§3.3).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def parse_list(path: str) -> List[List[str]]:
+    """Parse a list file into per-line token lists; '#' comments allowed."""
+    entries = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            entries.append(line.split())
+    return entries
+
+
+def load_rgb(path: str, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Decode an RGB image to float32 [0,1], optionally resized (H, W)
+    with bilinear interpolation (matches ops/resize semantics)."""
+    img = Image.open(path).convert("RGB")
+    if size is not None:
+        img = img.resize((size[1], size[0]), Image.BILINEAR)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def load_depth(path: str, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Load a depth map in meters.
+
+    ``.npy``: float32 meters.  ``.png``: 16-bit KITTI depth annotation
+    (uint16 / 256.0 m; 0 = invalid).  Resize (if any) uses NEAREST so
+    sparse LiDAR points are not smeared into neighbors.
+    """
+    if path.endswith(".npy"):
+        depth = np.load(path).astype(np.float32)
+    else:
+        img = Image.open(path)
+        arr = np.asarray(img)
+        if arr.dtype == np.uint16:
+            depth = arr.astype(np.float32) / 256.0
+        else:
+            depth = arr.astype(np.float32)
+    if size is not None and depth.shape != tuple(size):
+        img = Image.fromarray(depth)
+        img = img.resize((size[1], size[0]), Image.NEAREST)
+        depth = np.asarray(img, dtype=np.float32)
+    return depth
+
+
+class KittiTrainDataset:
+    """Batched iterator over prepared KITTI training pairs.
+
+    Yields host batches {'rgb' (B,H,W,3), 'depth' (B,H,W,1),
+    'mask' (B,H,W,1)} ready for device transfer + on-device augmentation.
+    """
+
+    def __init__(
+        self,
+        data_path: str,
+        list_file: str,
+        size: Tuple[int, int] = (128, 416),
+        batch_size: int = 32,
+        shuffle: bool = True,
+        seed: int = 0,
+        max_depth: float = 80.0,
+        loop: bool = True,
+    ):
+        self.data_path = data_path
+        self.entries = parse_list(os.path.join(data_path, list_file))
+        if not self.entries:
+            raise ValueError(f"empty list file {list_file}")
+        for e in self.entries:
+            if len(e) != 2:
+                raise ValueError(
+                    f"train list lines must be '<rgb> <depth>', got {e!r}"
+                )
+        self.size = size
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.max_depth = max_depth
+        self.loop = loop
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def _load_pair(self, entry: Sequence[str]):
+        rgb = load_rgb(os.path.join(self.data_path, entry[0]), self.size)
+        depth = load_depth(os.path.join(self.data_path, entry[1]), self.size)
+        return rgb, depth
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.entries))
+        while True:
+            if self.shuffle:
+                self._rng.shuffle(order)
+            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                idx = order[start : start + self.batch_size]
+                rgbs, depths = zip(*(self._load_pair(self.entries[i]) for i in idx))
+                depth = np.stack(depths)[..., None]
+                mask = (
+                    (depth > 0.0) & (depth < self.max_depth)
+                ).astype(np.float32)
+                yield {
+                    "rgb": np.stack(rgbs),
+                    "depth": np.clip(depth, 0.0, self.max_depth),
+                    "mask": mask,
+                }
+            if not self.loop:
+                break
+
+
+class KittiEvalDataset:
+    """Eigen-split eval iterator: {'rgb' (1,H,W,3), 'gt' (1,Hg,Wg)}.
+
+    List lines: ``<rgb_path> <gt_source>`` where gt_source is a depth
+    .npy/.png, or a velodyne ``.bin`` (then ``calib_dir`` must hold the
+    KITTI calibration files and projection runs via data/velodyne.py).
+    """
+
+    def __init__(
+        self,
+        data_path: str,
+        list_file: str,
+        size: Tuple[int, int] = (128, 416),
+        calib_dir: Optional[str] = None,
+    ):
+        self.data_path = data_path
+        self.entries = parse_list(os.path.join(data_path, list_file))
+        self.size = size
+        self.calib_dir = calib_dir
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for entry in self.entries:
+            rgb_path, gt_path = entry[0], entry[1]
+            rgb = load_rgb(os.path.join(self.data_path, rgb_path), self.size)
+            full = os.path.join(self.data_path, gt_path)
+            if gt_path.endswith(".bin"):
+                from gdn_tpu.data.velodyne import depth_from_velodyne_files
+
+                raw_shape = np.asarray(
+                    Image.open(os.path.join(self.data_path, rgb_path))
+                ).shape[:2]
+                gt = depth_from_velodyne_files(full, self.calib_dir, raw_shape)
+            else:
+                gt = load_depth(full)
+            yield {"rgb": rgb[None], "gt": gt[None].astype(np.float32)}

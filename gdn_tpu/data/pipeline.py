@@ -1,0 +1,109 @@
+"""Host->device input pipeline glue.
+
+The reference overlaps loading with compute via torch DataLoader worker
+processes (SURVEY.md §2.1/§3.1).  The TPU-native equivalent:
+
+  host decode (threads)  ->  prefetch queue  ->  device_put (sharded)
+                                             ->  on-device jitted aug
+
+``prefetch_to_device`` runs the host iterator in a background thread
+and keeps `size` batches already transferred (and mesh-sharded) ahead
+of the consumer, so H2D transfer overlaps the train step.
+``make_train_pipeline`` composes loader + prefetch + augmentation.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterable, Iterator, Optional
+
+import jax
+
+from gdn_tpu.config import Config
+from gdn_tpu.data.augment import augment_batch
+from gdn_tpu.parallel.mesh import shard_batch
+
+
+def prefetch_to_device(
+    iterator: Iterable[Dict[str, Any]],
+    size: int = 2,
+    mesh=None,
+) -> Iterator[Dict[str, Any]]:
+    """Background-thread prefetch; batches arrive already on device
+    (sharded over `mesh` when given)."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: list = []
+
+    def producer():
+        try:
+            for batch in iterator:
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                else:
+                    batch = jax.device_put(batch)
+                q.put(batch)
+        except Exception as e:  # propagate to consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def make_train_pipeline(
+    cfg: Config,
+    loader: Iterable[Dict[str, Any]],
+    mesh=None,
+    augment: bool = True,
+    seed: Optional[int] = None,
+) -> Iterator[Dict[str, Any]]:
+    """loader -> device prefetch -> on-device augmentation."""
+    key = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)
+    for batch in prefetch_to_device(loader, cfg.data.prefetch, mesh):
+        if augment:
+            key, sub = jax.random.split(key)
+            batch = augment_batch(sub, batch, cfg.data)
+        yield batch
+
+
+def make_loader(cfg: Config, split: str = "train"):
+    """Construct the host loader named by cfg.data.dataset (the
+    reference's --dataset flag surface, SURVEY.md §2.13)."""
+    h, w = cfg.model.image_size
+    d = cfg.data
+    if d.dataset == "synthetic":
+        from gdn_tpu.data.synthetic import SyntheticDataset
+
+        return SyntheticDataset(
+            batch_size=d.batch_size, height=h, width=w,
+            max_depth=cfg.model.max_depth, seed=cfg.train.seed,
+        )
+    if d.dataset == "kitti":
+        from gdn_tpu.data.kitti import KittiEvalDataset, KittiTrainDataset
+
+        if split == "train":
+            return KittiTrainDataset(
+                d.data_path, d.train_list, (h, w), d.batch_size,
+                max_depth=cfg.model.max_depth,
+            )
+        return KittiEvalDataset(d.data_path, d.val_list, (h, w))
+    if d.dataset == "nyu":
+        from gdn_tpu.data.nyu import NyuEvalDataset, NyuTrainDataset
+
+        if split == "train":
+            return NyuTrainDataset(
+                d.data_path, d.train_list, (h, w), d.batch_size,
+                max_depth=cfg.model.max_depth,
+            )
+        return NyuEvalDataset(d.data_path, d.val_list, (h, w))
+    raise ValueError(f"unknown dataset {d.dataset!r}")

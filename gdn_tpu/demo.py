@@ -1,0 +1,92 @@
+"""Demo / inference module (SURVEY.md §2.8): single images, directories
+or frame sequences -> colorized depth maps and GIFs.
+
+The jitted forward runs at the model's train resolution; outputs are
+resized back to each input frame's size for display.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from gdn_tpu.config import Config
+from gdn_tpu.models import RtoDNet
+from gdn_tpu.ops.colormap import colorize_depth
+from gdn_tpu.ops.resize import resize_bilinear
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+
+def list_inputs(path: str) -> List[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.lower().endswith(IMAGE_EXTS)
+        )
+    return [path]
+
+
+class DepthPredictor:
+    """Jit-compiled RGB -> depth inference wrapper."""
+
+    def __init__(self, cfg: Config, params):
+        self.cfg = cfg
+        model = RtoDNet(cfg=cfg.model)
+        self._fwd = jax.jit(
+            lambda p, x: model.apply({"params": p}, x)["depth"]
+        )
+        self.params = params
+
+    def __call__(self, rgb: np.ndarray) -> np.ndarray:
+        """rgb (H, W, 3) float [0,1] or uint8 -> depth (H, W) meters."""
+        if rgb.dtype == np.uint8:
+            rgb = rgb.astype(np.float32) / 255.0
+        h, w = rgb.shape[:2]
+        th, tw = self.cfg.model.image_size
+        x = resize_bilinear(jnp.asarray(rgb), (th, tw))[None]
+        depth = self._fwd(self.params, x)[0, ..., 0]
+        return np.asarray(resize_bilinear(depth, (h, w)))
+
+
+def run_demo(
+    cfg: Config,
+    params,
+    input_path: str,
+    output_dir: str,
+    gif: Optional[str] = None,
+    cmap: str = "magma",
+    side_by_side: bool = True,
+) -> List[str]:
+    """Predict depth for every input frame; write colorized PNGs and an
+    optional animated GIF.  Returns the written file paths."""
+    os.makedirs(output_dir, exist_ok=True)
+    predictor = DepthPredictor(cfg, params)
+    written, frames = [], []
+    for path in list_inputs(input_path):
+        rgb = np.asarray(Image.open(path).convert("RGB"))
+        depth = predictor(rgb)
+        color = colorize_depth(depth, cfg.model.max_depth, cmap)
+        frame = np.concatenate([rgb, color], axis=0) if side_by_side else color
+        out_path = os.path.join(
+            output_dir,
+            os.path.splitext(os.path.basename(path))[0] + "_depth.png",
+        )
+        Image.fromarray(frame).save(out_path)
+        written.append(out_path)
+        frames.append(frame)
+    if gif and frames:
+        gif_path = gif if os.path.isabs(gif) else os.path.join(output_dir, gif)
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(
+            gif_path, save_all=True, append_images=imgs[1:],
+            duration=100, loop=0,
+        )
+        written.append(gif_path)
+    return written

@@ -8,6 +8,7 @@ TensorBoard conversion) with wall-clock and step attached.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from typing import IO, Optional
@@ -22,6 +23,8 @@ class MetricLogger:
     ):
         self.prefix = prefix
         self.stream = stream
+        if jsonl_path and os.path.dirname(jsonl_path):
+            os.makedirs(os.path.dirname(jsonl_path), exist_ok=True)
         self._jsonl = open(jsonl_path, "a") if jsonl_path else None
         self._t0 = time.time()
 

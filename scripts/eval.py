@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Eval entry point reproducing the reference protocol (SURVEY.md
+§2.7/§3.3): load checkpoint -> batched eval split -> upsample
+predictions to GT resolution -> crop/cap -> print the 7-metric table.
+
+Examples:
+  python scripts/eval.py --dataset kitti --data_path /data/kitti \
+      --model_dir checkpoints --cap 80 --crop garg
+  python scripts/eval.py --dataset nyu --data_path /data/nyu --cap 10
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    from gdn_tpu.cli import add_common_args, add_eval_args, apply_platform, build_config
+
+    add_common_args(p)
+    add_eval_args(p)
+    p.add_argument("--stage", choices=["1", "2"], default="2",
+                   help="evaluate stage-2 G-net (default) or stage-1 "
+                        "D-net reconstruction")
+    args = p.parse_args()
+    apply_platform(args)
+    cfg = build_config(args)
+
+    from gdn_tpu import checkpoint as ckpt
+    from gdn_tpu.data.pipeline import make_loader
+    from gdn_tpu.evaluate import evaluate
+    from gdn_tpu.models import RtoDNet
+    from gdn_tpu.train import create_state, make_eval_forward
+
+    h, w = cfg.model.image_size
+    template = create_state(
+        RtoDNet(cfg=cfg.model), (1, h, w, 3), cfg.train, 1
+    )
+    params = ckpt.load_params(f"{cfg.train.ckpt_dir}/stage2", template.params)
+    forward = make_eval_forward(cfg)
+    dataset = make_loader(cfg, "eval")
+    results = evaluate(
+        cfg, params, forward, dataset, max_images=args.max_images
+    )
+    print(
+        " ".join(
+            f"{k}={v:.4f}" for k, v in results.items()
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Train entry point mirroring the reference's train scripts
+(SURVEY.md §2.6): ``--mode DtoD`` pretrains the stage-1 depth
+autoencoder; ``--mode RtoD`` loads the stage-1 checkpoint, transfers +
+freezes the decoder, and trains the guided stage-2 RGB-to-depth net.
+
+Examples:
+  python scripts/train.py --mode DtoD --dataset kitti --data_path /data/kitti
+  python scripts/train.py --mode RtoD --dataset kitti --data_path /data/kitti \
+      --stage1_ckpt checkpoints/stage1
+  python scripts/train.py --mode DtoD --dataset synthetic --epochs 2 \
+      --steps_per_epoch 50   # smoke run, no data needed
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    from gdn_tpu.cli import add_common_args, add_train_args, apply_platform, build_config
+
+    add_common_args(p)
+    add_train_args(p)
+    args = p.parse_args()
+    apply_platform(args)
+    cfg = build_config(args)
+
+    import jax
+
+    from gdn_tpu import checkpoint as ckpt
+    from gdn_tpu.data.pipeline import make_loader, make_train_pipeline
+    from gdn_tpu.models import DtoDNet
+    from gdn_tpu.train import create_state
+    from gdn_tpu.train.loop import train_stage1, train_stage2
+    from gdn_tpu.utils.logging import MetricLogger
+
+    print(f"devices: {jax.devices()}")
+    loader = make_loader(cfg, "train")
+    augment = cfg.data.dataset != "synthetic"
+    pipeline = make_train_pipeline(cfg, loader, mesh=None, augment=augment)
+    logger = MetricLogger(
+        prefix=f"stage{'1' if args.mode == 'DtoD' else '2'}",
+        jsonl_path=os.path.join(cfg.train.ckpt_dir, "train_log.jsonl")
+        if cfg.train.ckpt_dir
+        else None,
+    )
+
+    if args.mode == "DtoD":
+        state = None
+        if args.resume:
+            h, w = cfg.model.image_size
+            state = create_state(
+                DtoDNet(cfg=cfg.model), (1, h, w, 1), cfg.train,
+                cfg.train.steps_per_epoch,
+            )
+            state = ckpt.restore_checkpoint(
+                f"{cfg.train.ckpt_dir}/stage1", state
+            )
+            print(f"resumed stage 1 at step {int(state.step)}")
+        state = train_stage1(cfg, pipeline, state=state, logger=logger)
+        print(f"stage 1 finished at step {int(state.step)}")
+    else:
+        stage1_dir = args.stage1_ckpt or f"{cfg.train.ckpt_dir}/stage1"
+        h, w = cfg.model.image_size
+        d_template = create_state(
+            DtoDNet(cfg=cfg.model), (1, h, w, 1), cfg.train, 1
+        )
+        d_params = ckpt.load_params(stage1_dir, d_template.params)
+        print(f"loaded stage-1 params from {stage1_dir}")
+        state = train_stage2(cfg, pipeline, d_params, logger=logger)
+        print(f"stage 2 finished at step {int(state.step)}")
+
+
+if __name__ == "__main__":
+    main()

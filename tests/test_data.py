@@ -1,0 +1,189 @@
+"""Data pipeline tests: loaders against on-disk fixtures, velodyne
+projection geometry, on-device augmentation invariants."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from gdn_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from gdn_tpu.data.augment import augment_batch
+from gdn_tpu.data.kitti import KittiEvalDataset, KittiTrainDataset, load_depth
+from gdn_tpu.data.nyu import NyuTrainDataset, center_crop_nyu
+from gdn_tpu.data.pipeline import make_loader, make_train_pipeline, prefetch_to_device
+from gdn_tpu.data.synthetic import SyntheticDataset, synthetic_batch
+from gdn_tpu.data import velodyne
+
+
+@pytest.fixture(scope="module")
+def kitti_fixture(tmp_path_factory):
+    """Fake prepared-KITTI tree: 6 rgb/depth pairs + list files."""
+    root = tmp_path_factory.mktemp("kitti")
+    rng = np.random.default_rng(0)
+    lines_train, lines_val = [], []
+    os.makedirs(root / "scene", exist_ok=True)
+    for i in range(6):
+        rgb = (rng.uniform(0, 255, (128, 416, 3))).astype(np.uint8)
+        Image.fromarray(rgb).save(root / "scene" / f"{i:04d}.png")
+        depth16 = (rng.uniform(0, 80, (128, 416)) * 256).astype(np.uint16)
+        Image.fromarray(depth16).save(root / "scene" / f"{i:04d}_d.png")
+        lines_train.append(f"scene/{i:04d}.png scene/{i:04d}_d.png")
+        # eval gt at "raw" resolution as npy
+        gt = rng.uniform(0, 80, (375, 1242)).astype(np.float32)
+        np.save(root / "scene" / f"{i:04d}_gt.npy", gt)
+        lines_val.append(f"scene/{i:04d}.png scene/{i:04d}_gt.npy")
+    (root / "train.txt").write_text("\n".join(lines_train) + "\n")
+    (root / "val.txt").write_text("\n".join(lines_val) + "\n")
+    return str(root)
+
+
+def test_kitti_train_loader(kitti_fixture):
+    ds = KittiTrainDataset(kitti_fixture, "train.txt", (128, 416), batch_size=3, loop=False)
+    assert len(ds) == 6
+    batches = list(ds)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["rgb"].shape == (3, 128, 416, 3)
+    assert b["depth"].shape == (3, 128, 416, 1)
+    assert b["mask"].shape == (3, 128, 416, 1)
+    assert b["rgb"].dtype == np.float32 and 0 <= b["rgb"].min()
+    assert b["depth"].max() <= 80.0
+    # 16-bit png depth decoded as value/256 m
+    assert b["depth"].max() > 1.0
+
+
+def test_kitti_eval_loader(kitti_fixture):
+    ds = KittiEvalDataset(kitti_fixture, "val.txt", (128, 416))
+    sample = next(iter(ds))
+    assert sample["rgb"].shape == (1, 128, 416, 3)
+    assert sample["gt"].shape == (1, 375, 1242)
+
+
+def test_kitti_bad_list_raises(kitti_fixture):
+    (lambda p: open(p, "w").write("only_one_token\n"))(
+        os.path.join(kitti_fixture, "bad.txt")
+    )
+    with pytest.raises(ValueError, match="rgb.*depth|<rgb> <depth>"):
+        KittiTrainDataset(kitti_fixture, "bad.txt")
+
+
+def test_nyu_loader(tmp_path):
+    rng = np.random.default_rng(1)
+    os.makedirs(tmp_path / "d", exist_ok=True)
+    lines = []
+    for i in range(2):
+        rgb = rng.uniform(0, 255, (480, 640, 3)).astype(np.uint8)
+        Image.fromarray(rgb).save(tmp_path / "d" / f"{i}.png")
+        depth_mm = (rng.uniform(0, 10, (480, 640)) * 1000).astype(np.uint16)
+        Image.fromarray(depth_mm).save(tmp_path / "d" / f"{i}_d.png")
+        lines.append(f"d/{i}.png d/{i}_d.png")
+    (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
+    ds = NyuTrainDataset(str(tmp_path), "train.txt", (228, 304), batch_size=2, loop=False)
+    b = next(iter(ds))
+    assert b["rgb"].shape == (2, 228, 304, 3)
+    assert b["depth"].shape == (2, 228, 304, 1)
+    assert b["depth"].max() <= 10.0  # mm -> m conversion happened
+
+
+def test_nyu_center_crop():
+    x = np.zeros((480, 640, 3))
+    assert center_crop_nyu(x).shape == (426, 560, 3)
+    y = np.zeros((100, 100))
+    assert center_crop_nyu(y).shape == (100, 100)
+
+
+def test_velodyne_projection_geometry():
+    """Pinhole projection with the velodyne x-axis as depth: a camera
+    P = [[f,0,cu,0],[0,f,cv,0],[0,0,1,0]] composed with the axis swap
+    (x_v -> z_cam, -y_v -> x_cam, -z_v -> y_cam)."""
+    f, cu, cv = 10.0, 50.0, 25.0
+    swap = np.array(
+        [[0, -1.0, 0, 0], [0, 0, -1.0, 0], [1.0, 0, 0, 0], [0, 0, 0, 1.0]]
+    )
+    cam = np.array([[f, 0, cu, 0], [0, f, cv, 0], [0, 0, 1.0, 0]])
+    proj = cam @ swap
+    # Two points straight ahead (y=z=0) at depths 10 and 5: both land
+    # at the principal point (u=cu-1, v=cv-1 after the 1-based shift).
+    both = np.array([[10.0, 0, 0, 1.0], [5.0, 0, 0, 1.0]])
+    d = velodyne.depth_from_velodyne(both, proj, (50, 100))
+    assert d[int(cv) - 1, int(cu) - 1] == pytest.approx(5.0)  # nearest wins
+    assert (d > 0).sum() == 1
+    # an off-axis point: y_v=-1 -> x_cam=1 -> u = f*1/z + cu
+    off = np.array([[5.0, -1.0, 0, 1.0]])
+    d2 = velodyne.depth_from_velodyne(off, proj, (50, 100))
+    assert d2[int(cv) - 1, int(round(f * 1 / 5 + cu)) - 1] == pytest.approx(5.0)
+    # behind-sensor points are dropped
+    behind = np.array([[-5.0, 0, 0, 1.0]])
+    assert velodyne.depth_from_velodyne(behind, proj, (50, 100)).sum() == 0.0
+
+
+def test_augmentation_invariants(rng):
+    cfg = DataConfig(scale_range=(1.0, 1.2), jitter_strength=0.3)
+    batch = synthetic_batch(jax.random.PRNGKey(0), 4, 64, 96, 80.0)
+    out = augment_batch(jax.random.PRNGKey(1), batch, cfg)
+    assert out["rgb"].shape == batch["rgb"].shape
+    assert out["depth"].shape == batch["depth"].shape
+    r = np.asarray(out["rgb"])
+    assert r.min() >= 0.0 and r.max() <= 1.0
+    d = np.asarray(out["depth"])
+    assert np.isfinite(d).all() and d.min() >= 0.0
+    m = np.asarray(out["mask"])
+    assert set(np.unique(m)).issubset({0.0, 1.0})  # nearest keeps mask binary
+    # different key -> different augmentation
+    out2 = augment_batch(jax.random.PRNGKey(2), batch, cfg)
+    assert not np.array_equal(np.asarray(out2["rgb"]), r)
+
+
+def test_augmentation_identity_when_disabled():
+    cfg = DataConfig(random_flip=False, random_crop=False, color_jitter=False)
+    batch = synthetic_batch(jax.random.PRNGKey(0), 2, 32, 48, 80.0)
+    out = augment_batch(jax.random.PRNGKey(1), batch, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"]), np.asarray(batch["rgb"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["depth"]), np.asarray(batch["depth"]), atol=1e-5
+    )
+
+
+def test_prefetch_to_device():
+    def gen():
+        for i in range(5):
+            yield {"x": np.full((2, 4), i, np.float32)}
+
+    got = list(prefetch_to_device(gen(), size=2))
+    assert len(got) == 5
+    assert float(got[3]["x"][0, 0]) == 3.0
+    assert isinstance(got[0]["x"], jax.Array)
+
+
+def test_prefetch_propagates_errors():
+    def gen():
+        yield {"x": np.zeros((1,), np.float32)}
+        raise RuntimeError("decode failed")
+
+    it = prefetch_to_device(gen(), size=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(it)
+
+
+def test_make_loader_synthetic_and_pipeline():
+    cfg = Config(
+        model=ModelConfig(image_size=(32, 64)),
+        data=DataConfig(dataset="synthetic", batch_size=4),
+        train=TrainConfig(),
+    )
+    loader = make_loader(cfg)
+    assert isinstance(loader, SyntheticDataset)
+    pipe = make_train_pipeline(cfg, loader, augment=True)
+    b = next(iter(pipe))
+    assert b["rgb"].shape == (4, 32, 64, 3)
+
+
+def test_make_loader_unknown():
+    cfg = Config(data=DataConfig(dataset="bogus"))
+    with pytest.raises(ValueError, match="bogus"):
+        make_loader(cfg)
