@@ -57,6 +57,11 @@ class ModelConfig:
     dtype: str = "bfloat16"
     # Use Pallas kernels for fused blocks where available.
     use_pallas: bool = True
+    # Fused fusion-block kernel (kernels/fusion_block.py): separate gate,
+    # default off until its Mosaic compile is validated on real TPU (the
+    # remote compile service was congested when it landed); interpret-mode
+    # equivalence is tested either way.
+    use_pallas_fusion: bool = False
 
     @property
     def num_scales(self) -> int:

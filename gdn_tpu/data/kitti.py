@@ -89,6 +89,7 @@ class KittiTrainDataset:
         seed: int = 0,
         max_depth: float = 80.0,
         loop: bool = True,
+        use_native: bool = True,
     ):
         self.data_path = data_path
         self.entries = parse_list(os.path.join(data_path, list_file))
@@ -105,6 +106,16 @@ class KittiTrainDataset:
         self.max_depth = max_depth
         self.loop = loop
         self._rng = np.random.default_rng(seed)
+        # Native C++ threaded decode (native/gdn_io.cpp) when the .so is
+        # built and the depth files are 16-bit PNGs; PIL otherwise.
+        if use_native:
+            from gdn_tpu.data import native_io
+
+            self._native = native_io.available() and all(
+                e[1].endswith(".png") for e in self.entries
+            )
+        else:
+            self._native = False
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -121,6 +132,30 @@ class KittiTrainDataset:
                 self._rng.shuffle(order)
             for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
                 idx = order[start : start + self.batch_size]
+                if self._native:
+                    from gdn_tpu.data import native_io
+
+                    rgb_paths = [
+                        os.path.join(self.data_path, self.entries[i][0])
+                        for i in idx
+                    ]
+                    d_paths = [
+                        os.path.join(self.data_path, self.entries[i][1])
+                        for i in idx
+                    ]
+                    rgb_batch = native_io.decode_rgb_batch(rgb_paths, *self.size)
+                    depth = native_io.decode_depth_batch(d_paths, *self.size)[
+                        ..., None
+                    ]
+                    mask = (
+                        (depth > 0.0) & (depth < self.max_depth)
+                    ).astype(np.float32)
+                    yield {
+                        "rgb": rgb_batch,
+                        "depth": np.clip(depth, 0.0, self.max_depth),
+                        "mask": mask,
+                    }
+                    continue
                 rgbs, depths = zip(*(self._load_pair(self.entries[i]) for i in idx))
                 depth = np.stack(depths)[..., None]
                 mask = (

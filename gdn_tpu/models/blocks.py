@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from gdn_tpu.config import ModelConfig
@@ -79,10 +80,14 @@ class FusionBlock(nn.Module):
     decoder stream (SURVEY.md §2.3 'concat/add + conv').
 
     With ``cfg.fusion == "concat"`` the lateral features are
-    concatenated then mixed by a 3x3 conv; with ``"add"`` they are
-    projected 1x1 and added before the conv.  On TPU the concat+conv
-    pair is exactly what the fused Pallas fusion kernel implements
-    (kernels/fusion_block.py) — this module is its XLA reference.
+    concatenated then mixed by a 3x3 conv + GroupNorm + activation.
+    The block owns its parameters directly so the same tree drives two
+    execution paths:
+      - the fused Pallas kernel (kernels/fusion_block.py): split-weight
+        shifted matmuls, concat never materialized, norm+act fused —
+        used when ``cfg.use_pallas`` on TPU with group-norm + ELU;
+      - the XLA path (concat -> conv -> norm -> act) otherwise.
+    With ``"add"`` the lateral is 1x1-projected and added (XLA only).
     """
 
     features: int
@@ -90,15 +95,63 @@ class FusionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lateral: jnp.ndarray) -> jnp.ndarray:
-        if self.cfg.fusion == "concat":
-            x = jnp.concatenate([x, lateral.astype(x.dtype)], axis=-1)
-        else:
+        if self.cfg.fusion != "concat":
             proj = nn.Conv(
                 x.shape[-1], (1, 1), dtype=self.cfg.compute_dtype,
                 param_dtype=jnp.float32, name="lateral_proj",
             )(lateral)
-            x = x + proj
-        return ConvBlock(self.features, kernel=3, cfg=self.cfg)(x)
+            return ConvBlock(self.features, kernel=3, cfg=self.cfg)(x + proj)
+
+        c = self.cfg
+        cx, cl, cout = x.shape[-1], lateral.shape[-1], self.features
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cx + cl, cout),
+            jnp.float32,
+        )
+        use_gn = c.norm == "group"
+        groups = min(c.group_norm_groups, cout) if use_gn else 1
+        while use_gn and cout % groups:
+            groups -= 1
+        if use_gn:
+            scale = self.param("scale", nn.initializers.ones, (cout,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
+        else:
+            bias = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
+
+        use_fused = (
+            c.use_pallas
+            and c.use_pallas_fusion
+            and use_gn
+            and c.activation == "elu"
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            from gdn_tpu.kernels.fusion_block import fused_fusion_block
+
+            out = fused_fusion_block(
+                x.astype(jnp.float32), lateral.astype(jnp.float32),
+                kernel[:, :, :cx, :], kernel[:, :, cx:, :],
+                scale, bias, groups,
+            )
+            return out.astype(c.compute_dtype)
+
+        full = jnp.concatenate([x, lateral.astype(x.dtype)], axis=-1)
+        y = jax.lax.conv_general_dilated(
+            full.astype(c.compute_dtype), kernel.astype(c.compute_dtype),
+            (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if use_gn:
+            b, h, w, _ = y.shape
+            yg = y.astype(jnp.float32).reshape(b, h * w, groups, cout // groups)
+            mean = jnp.mean(yg, axis=(1, 3), keepdims=True)
+            var = jnp.mean((yg - mean) ** 2, axis=(1, 3), keepdims=True)
+            y = ((yg - mean) * jax.lax.rsqrt(var + 1e-6)).reshape(b, h, w, cout)
+            y = (y * scale + bias).astype(c.compute_dtype)
+        else:
+            y = y + bias.astype(y.dtype)
+        return activation_fn(c.activation)(y)
 
 
 class UpBlock(nn.Module):

@@ -187,3 +187,66 @@ def test_make_loader_unknown():
     cfg = Config(data=DataConfig(dataset="bogus"))
     with pytest.raises(ValueError, match="bogus"):
         make_loader(cfg)
+
+
+def test_native_io_matches_pil(kitti_fixture):
+    """C++ decode+resize vs the PIL path (same images, same sizes)."""
+    from gdn_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native IO library not built")
+    ds_native = KittiTrainDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=6,
+        shuffle=False, loop=False, use_native=True,
+    )
+    ds_pil = KittiTrainDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=6,
+        shuffle=False, loop=False, use_native=False,
+    )
+    assert ds_native._native and not ds_pil._native
+    bn = next(iter(ds_native))
+    bp = next(iter(ds_pil))
+    # identical resolution -> no resize; decode must agree exactly
+    np.testing.assert_allclose(bn["rgb"], bp["rgb"], atol=1e-6)
+    np.testing.assert_allclose(bn["depth"], bp["depth"], atol=1e-6)
+    np.testing.assert_array_equal(bn["mask"], bp["mask"])
+
+
+def test_native_io_resize_matches_pil_nearest(tmp_path):
+    """Depth nearest-resize parity between C++ and PIL at non-native size."""
+    from gdn_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native IO library not built")
+    rng = np.random.default_rng(3)
+    d16 = (rng.uniform(0, 60000, (128, 416))).astype(np.uint16)
+    p = str(tmp_path / "d.png")
+    Image.fromarray(d16).save(p)
+    native = native_io.decode_depth_batch([p], 64, 208)[0]
+    pil = load_depth(p, (64, 208))
+    np.testing.assert_allclose(native, pil, atol=1e-4)
+
+
+def test_native_io_error_path(tmp_path):
+    from gdn_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native IO library not built")
+    with pytest.raises(RuntimeError, match="decode failed"):
+        native_io.decode_rgb_batch([str(tmp_path / "missing.png")], 32, 32)
+
+
+def test_native_io_rgb_downscale_matches_pil(tmp_path):
+    """RGB antialiased-bilinear downscale parity with PIL (within PIL's
+    uint8 intermediate quantization)."""
+    from gdn_tpu.data import native_io
+    from gdn_tpu.data.kitti import load_rgb
+
+    if not native_io.available():
+        pytest.skip("native IO library not built")
+    rng = np.random.default_rng(5)
+    p = str(tmp_path / "big.png")
+    Image.fromarray(rng.uniform(0, 255, (375, 1242, 3)).astype(np.uint8)).save(p)
+    native = native_io.decode_rgb_batch([p], 128, 416)[0]
+    pil = load_rgb(p, (128, 416))
+    assert np.abs(native - pil).max() < 0.01

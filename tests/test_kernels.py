@@ -98,3 +98,63 @@ def test_fused_multiscale_composition_matches_gradient_loss(rng):
     composed = (fused["grad0"] + sum(coarse)) / 4
     ref = losses.gradient_loss(pred, gt, mask, num_scales=4)
     assert float(composed) == pytest.approx(float(ref), rel=1e-6)
+
+
+def _fusion_data(rng, b=2, h=16, w=24, cx=8, cl=4, cout=8):
+    x = rng.normal(size=(b, h, w, cx)).astype(np.float32)
+    lat = rng.normal(size=(b, h, w, cl)).astype(np.float32)
+    wx = (rng.normal(size=(3, 3, cx, cout)) * 0.1).astype(np.float32)
+    wl = (rng.normal(size=(3, 3, cl, cout)) * 0.1).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, size=(cout,)).astype(np.float32)
+    bias = rng.normal(size=(cout,)).astype(np.float32)
+    return map(jnp.asarray, (x, lat, wx, wl, scale, bias))
+
+
+def test_fused_fusion_block_matches_reference(rng):
+    from gdn_tpu.kernels.fusion_block import _reference, fused_fusion_block
+
+    x, lat, wx, wl, scale, bias = _fusion_data(rng)
+    out = fused_fusion_block(x, lat, wx, wl, scale, bias, 4, 1e-6, True)
+    ref = _reference(x, lat, wx, wl, scale, bias, 4, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_fusion_block_gradients(rng):
+    from gdn_tpu.kernels.fusion_block import _reference, fused_fusion_block
+
+    x, lat, wx, wl, scale, bias = _fusion_data(rng, b=1, h=8, w=12)
+
+    def f_fused(x, wx, scale):
+        return jnp.sum(
+            fused_fusion_block(x, lat, wx, wl, scale, bias, 4, 1e-6, True) ** 2
+        )
+
+    def f_ref(x, wx, scale):
+        return jnp.sum(_reference(x, lat, wx, wl, scale, bias, 4, 1e-6) ** 2)
+
+    gf = jax.grad(f_fused, argnums=(0, 1, 2))(x, wx, scale)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(x, wx, scale)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_fusion_block_module_xla_path_matches_kernel_reference(rng):
+    """The flax FusionBlock (XLA path on CPU) must equal the kernel's
+    _reference given the same params — proving kernel<->module parity
+    transitively."""
+    import flax
+    from gdn_tpu.config import ModelConfig
+    from gdn_tpu.kernels.fusion_block import _reference
+    from gdn_tpu.models.blocks import FusionBlock
+
+    cfg = ModelConfig(dtype="float32", group_norm_groups=4)
+    x, lat, wx, wl, scale, bias = _fusion_data(rng, cout=8)
+    block = FusionBlock(features=8, cfg=cfg)
+    params = block.init(jax.random.PRNGKey(0), x, lat)
+    kernel = jnp.concatenate([wx, wl], axis=2)
+    params = flax.core.copy(
+        params, {"params": {"kernel": kernel, "scale": scale, "bias": bias}}
+    )
+    out = block.apply(params, x, lat)
+    ref = _reference(x, lat, wx, wl, scale, bias, 4, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
