@@ -133,6 +133,9 @@ class TrainConfig:
     # Stage 2: freeze the transferred decoder (optax.masked zero-updates).
     freeze_decoder: bool = True
     seed: int = 0
+    # NaN/Inf guard on loss terms every step (utils/guards.GuardedStep);
+    # adds a host sync per step — debug tool, off in production.
+    check_numerics: bool = False
     log_every: int = 50
     ckpt_dir: str = "checkpoints"
     keep_ckpts: int = 3

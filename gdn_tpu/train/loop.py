@@ -68,6 +68,10 @@ def train_stage1(
             model, (1, h, w, 1), cfg.train, cfg.train.steps_per_epoch
         )
     step_fn = make_stage1_step(cfg, mesh)
+    if cfg.train.check_numerics:
+        from gdn_tpu.utils.guards import GuardedStep
+
+        step_fn = GuardedStep(step_fn)
     logger = logger or MetricLogger(prefix="stage1")
     data_iter = iter(data_iter)
     for epoch in range(epochs if epochs is not None else cfg.train.epochs):
@@ -105,6 +109,10 @@ def train_stage2(
         transferred = ckpt.transfer_stage1_decoder(state.params, d_params)
         state = state.replace(params=transferred)
     step_fn = make_stage2_step(cfg, mesh)
+    if cfg.train.check_numerics:
+        from gdn_tpu.utils.guards import GuardedStep
+
+        step_fn = GuardedStep(step_fn)
     logger = logger or MetricLogger(prefix="stage2")
     data_iter = iter(data_iter)
     for epoch in range(epochs if epochs is not None else cfg.train.epochs):

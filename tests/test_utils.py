@@ -1,0 +1,69 @@
+"""Aux subsystem tests: guards, step timer, logging."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdn_tpu.utils.guards import (
+    GuardedStep,
+    assert_finite,
+    check_finite_tree,
+    nonfinite_paths,
+)
+from gdn_tpu.utils.logging import MetricLogger
+from gdn_tpu.utils.profiling import StepTimer
+
+
+def test_check_finite_tree():
+    good = {"a": jnp.ones((3,)), "b": [jnp.zeros((2, 2))]}
+    assert bool(check_finite_tree(good))
+    bad = {"a": jnp.asarray([1.0, np.nan])}
+    assert not bool(check_finite_tree(bad))
+    # jittable
+    assert bool(jax.jit(check_finite_tree)(good))
+    # int leaves don't break it
+    assert bool(check_finite_tree({"i": jnp.arange(3)}))
+
+
+def test_nonfinite_paths_and_assert():
+    tree = {"ok": jnp.ones((2,)), "bad": {"x": jnp.asarray([np.inf])}}
+    paths = nonfinite_paths(tree)
+    assert len(paths) == 1 and "bad" in paths[0]
+    with pytest.raises(FloatingPointError, match="bad"):
+        assert_finite(tree)
+    assert_finite({"ok": jnp.ones((2,))})  # no raise
+
+
+def test_guarded_step_catches_nan():
+    def step(state, batch):
+        return state, {"total": batch["x"].sum()}
+
+    guarded = GuardedStep(step)
+    state, terms = guarded({}, {"x": jnp.ones((2,))})
+    assert float(terms["total"]) == 2.0
+    with pytest.raises(FloatingPointError, match="loss terms"):
+        guarded({}, {"x": jnp.asarray([np.nan])})
+
+
+def test_step_timer():
+    t = StepTimer(warmup=1)
+    for i in range(4):
+        t.start()
+        x = jnp.ones((8, 8)) * i
+        t.stop(x)
+    s = t.summary()
+    assert s["steps"] == 3
+    assert s["mean_s"] > 0 and s["p95_s"] >= s["p50_s"]
+
+
+def test_metric_logger_jsonl(tmp_path):
+    path = tmp_path / "sub" / "log.jsonl"
+    logger = MetricLogger(prefix="t", jsonl_path=str(path))
+    logger.log(step=1, loss=0.5)
+    logger.log(step=2, loss=0.25)
+    logger.close()
+    lines = [json.loads(l) for l in path.read_text().splitlines()]
+    assert lines[1]["step"] == 2 and lines[1]["loss"] == 0.25
