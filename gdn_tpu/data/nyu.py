@@ -116,6 +116,56 @@ class NyuTrainDataset:
                 break
 
 
+class NyuLabeledMatDataset:
+    """Reader for the official ``nyu_depth_v2_labeled.mat`` (HDF5):
+    1449 aligned RGB-D frames, 'images' (N,3,640,480) uint8 and
+    'depths' (N,640,480) float32 meters, stored transposed (W, H).
+
+    ``split`` selects frames by index list (the standard 654-image test
+    split indices can be passed directly).  Yields the same eval
+    contract as NyuEvalDataset.
+    """
+
+    def __init__(
+        self,
+        mat_path: str,
+        size: Tuple[int, int] = (228, 304),
+        indices: Optional[list] = None,
+        batch_mode: str = "eval",  # "eval" -> rgb+raw gt; "train" -> pairs
+    ):
+        import h5py
+
+        self._h5 = h5py.File(mat_path, "r")
+        self.size = size
+        n = self._h5["images"].shape[0]
+        self.indices = list(indices) if indices is not None else list(range(n))
+        self.batch_mode = batch_mode
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def _frame(self, i: int):
+        # stored as (3, W, H) / (W, H): transpose to (H, W, .)
+        rgb = np.asarray(self._h5["images"][i]).transpose(2, 1, 0)
+        depth = np.asarray(self._h5["depths"][i]).transpose(1, 0)
+        return rgb.astype(np.float32) / 255.0, depth.astype(np.float32)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for i in self.indices:
+            rgb, depth = self._frame(i)
+            rgb = center_crop_nyu(rgb)
+            depth = center_crop_nyu(depth)
+            img = Image.fromarray((rgb * 255).astype(np.uint8))
+            rgb_small = (
+                np.asarray(
+                    img.resize((self.size[1], self.size[0]), Image.BILINEAR),
+                    dtype=np.float32,
+                )
+                / 255.0
+            )
+            yield {"rgb": rgb_small[None], "gt": depth[None]}
+
+
 class NyuEvalDataset:
     """Eval iterator: {'rgb' (1,228,304,3), 'gt' (1,Hg,Wg)} with GT at
     the cropped native resolution (426x560)."""

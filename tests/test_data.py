@@ -250,3 +250,25 @@ def test_native_io_rgb_downscale_matches_pil(tmp_path):
     native = native_io.decode_rgb_batch([p], 128, 416)[0]
     pil = load_rgb(p, (128, 416))
     assert np.abs(native - pil).max() < 0.01
+
+
+def test_nyu_labeled_mat_reader(tmp_path):
+    """Official .mat (h5) layout: images (N,3,W,H) uint8, depths (N,W,H)."""
+    import h5py
+    from gdn_tpu.data.nyu import NyuLabeledMatDataset
+
+    rng = np.random.default_rng(7)
+    p = str(tmp_path / "nyu_labeled.mat")
+    with h5py.File(p, "w") as f:
+        f.create_dataset(
+            "images", data=rng.integers(0, 255, (3, 3, 640, 480), dtype=np.uint8)
+        )
+        f.create_dataset(
+            "depths", data=rng.uniform(0.5, 10, (3, 640, 480)).astype(np.float32)
+        )
+    ds = NyuLabeledMatDataset(p, (228, 304), indices=[0, 2])
+    assert len(ds) == 2
+    s = next(iter(ds))
+    assert s["rgb"].shape == (1, 228, 304, 3)
+    assert s["gt"].shape == (1, 426, 560)  # center-cropped native res
+    assert 0.0 <= s["rgb"].min() and s["rgb"].max() <= 1.0

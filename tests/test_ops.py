@@ -1,0 +1,59 @@
+"""Pinned-op semantics vs the torch fp32 oracle (SURVEY.md §7 hard
+part: "resize kernels differ between PIL/cv2 and jax.image — must pin
+the exact interpolation").
+
+Established contract: the framework's bilinear (ops/resize.py,
+jax.image "bilinear") == torch ``F.interpolate(..., mode="bilinear",
+align_corners=False, antialias=True)`` to float32 ulp, on both up- and
+downscale.  The native C++ decoder's triangle-filter resize and PIL's
+BILINEAR match the same convention (tests/test_data.py).
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from gdn_tpu.ops.resize import resize_bilinear, resize_nearest
+
+
+@pytest.mark.parametrize("size", [(128, 192), (32, 48), (375, 1242)])
+def test_bilinear_matches_torch_antialias(rng, size):
+    x = rng.uniform(0, 80, (64, 96)).astype(np.float32)
+    ours = np.asarray(resize_bilinear(x, size))
+    ref = F.interpolate(
+        torch.from_numpy(x)[None, None], size=size, mode="bilinear",
+        align_corners=False, antialias=True,
+    )[0, 0].numpy()
+    # tolerance ~ fp32 eps * value range (80 m): accumulation order differs
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+
+def test_bilinear_batched_channels(rng):
+    x = rng.uniform(0, 1, (2, 64, 96, 3)).astype(np.float32)
+    out = np.asarray(resize_bilinear(x, (32, 48)))
+    assert out.shape == (2, 32, 48, 3)
+    ref = F.interpolate(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(32, 48),
+        mode="bilinear", align_corners=False, antialias=True,
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_nearest_preserves_values(rng):
+    # sparse LiDAR-like map: nearest must not invent in-between values
+    x = np.zeros((64, 96), np.float32)
+    idx = rng.integers(0, 64 * 96, 200)
+    vals = rng.uniform(1, 80, 200).astype(np.float32)
+    x.flat[idx] = vals
+    out = np.asarray(resize_nearest(x, (32, 48)))
+    assert set(np.round(np.unique(out), 4)) <= set(np.round(np.unique(x), 4))
+
+
+def test_resize_preserves_dtype(rng):
+    import jax.numpy as jnp
+
+    x = jnp.asarray(rng.uniform(0, 1, (16, 16)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    assert resize_bilinear(x, (8, 8)).dtype == jnp.bfloat16
