@@ -51,6 +51,40 @@ def _epoch_loop(
     return state
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _val_terms(apply_fn, params, batch, loss_cfg, max_depth, input_key):
+    from gdn_tpu.losses import total_loss
+
+    out = apply_fn({"params": params}, batch[input_key])
+    return total_loss(
+        out["depth"], batch["depth"], batch["mask"], loss_cfg, max_depth
+    )
+
+
+def _validate(cfg, state, val_iter, steps, logger, d_params=None):
+    """Periodic validation (SURVEY.md §2.6): average loss terms over
+    `steps` held-out batches, no gradient.  Jitted; cache key is the
+    model's apply_fn, so repeated epochs reuse the compiled program."""
+    input_key = "depth" if d_params is None else "rgb"
+    sums, n = {}, 0
+    for _ in range(steps):
+        batch = next(val_iter)
+        terms = _val_terms(
+            state.apply_fn, state.params, batch,
+            cfg.loss, cfg.model.max_depth, input_key,
+        )
+        terms = jax.tree.map(float, jax.device_get(terms))
+        for k, v in terms.items():
+            sums[k] = sums.get(k, 0.0) + v
+        n += 1
+    avg = {f"val_{k}": v / max(n, 1) for k, v in sums.items()}
+    logger.log(step=int(state.step), **avg)
+    return avg
+
+
 def train_stage1(
     cfg: Config,
     data_iter: Iterable[Dict[str, Any]],
@@ -58,6 +92,8 @@ def train_stage1(
     epochs: Optional[int] = None,
     state=None,
     logger: Optional[MetricLogger] = None,
+    val_iter: Optional[Iterable[Dict[str, Any]]] = None,
+    val_steps: int = 10,
 ):
     """D-net pretraining.  Returns the final TrainState."""
     h, w = cfg.model.image_size
@@ -79,6 +115,8 @@ def train_stage1(
             step_fn, state, data_iter, cfg.train.steps_per_epoch, logger,
             cfg.data.batch_size, cfg.train.log_every, mesh,
         )
+        if val_iter is not None:
+            _validate(cfg, state, iter(val_iter), val_steps, logger)
         if cfg.train.ckpt_dir:
             ckpt.save_checkpoint(
                 f"{cfg.train.ckpt_dir}/stage1", int(state.step), state,
@@ -95,6 +133,8 @@ def train_stage2(
     epochs: Optional[int] = None,
     state=None,
     logger: Optional[MetricLogger] = None,
+    val_iter: Optional[Iterable[Dict[str, Any]]] = None,
+    val_steps: int = 10,
 ):
     """Guided G-net training: transfer + freeze the stage-1 decoder,
     train with guidance targets from the frozen D-net."""
@@ -121,6 +161,9 @@ def train_stage2(
             cfg.data.batch_size, cfg.train.log_every, mesh,
             extra_args=(d_params,),
         )
+        if val_iter is not None:
+            _validate(cfg, state, iter(val_iter), val_steps, logger,
+                      d_params=d_params)
         if cfg.train.ckpt_dir:
             ckpt.save_checkpoint(
                 f"{cfg.train.ckpt_dir}/stage2", int(state.step), state,

@@ -177,3 +177,21 @@ def test_eval_harness_on_synthetic(d_state):
     out = evaluate(cfg, g_state.params, fwd, eval_ds(), verbose=False)
     assert set(out) >= {"abs_rel", "rmse", "a1", "fps"}
     assert np.isfinite(out["rmse"])
+
+
+def test_validation_hook():
+    from gdn_tpu.train.loop import train_stage1
+    from gdn_tpu.utils.logging import MetricLogger
+    import io
+
+    buf = io.StringIO()
+    logger = MetricLogger(prefix="s1", stream=buf)
+    ds = SyntheticDataset(batch_size=8, height=32, width=64)
+    cfg = TINY
+    state = train_stage1(
+        cfg, ds, use_mesh=False, epochs=1, logger=logger,
+        val_iter=SyntheticDataset(batch_size=8, height=32, width=64, seed=9),
+        val_steps=2,
+    )
+    out = buf.getvalue()
+    assert "val_total" in out and "val_recon" in out
