@@ -62,6 +62,11 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint of this stage")
+    p.add_argument("--val_pairs_list", type=str, default="",
+                   help="optional held-out list (train pair format) for "
+                        "per-epoch validation loss")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TensorBoard scalars under <model_dir>/tb")
 
 
 def add_eval_args(p: argparse.ArgumentParser) -> None:

@@ -20,12 +20,25 @@ class MetricLogger:
         prefix: str = "",
         jsonl_path: Optional[str] = None,
         stream: IO = sys.stdout,
+        tensorboard_dir: Optional[str] = None,
     ):
         self.prefix = prefix
         self.stream = stream
         if jsonl_path and os.path.dirname(jsonl_path):
             os.makedirs(os.path.dirname(jsonl_path), exist_ok=True)
         self._jsonl = open(jsonl_path, "a") if jsonl_path else None
+        self._tb = None
+        if tensorboard_dir:
+            try:  # tf is an optional dependency of the logging path only
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(tensorboard_dir)
+            except ImportError:
+                print(
+                    "[logging] tensorflow unavailable; TensorBoard "
+                    "scalars disabled (JSONL still written)",
+                    file=sys.stderr,
+                )
         self._t0 = time.time()
 
     def log(self, step: int, **scalars: float) -> None:
@@ -38,7 +51,20 @@ class MetricLogger:
             rec = {"t": time.time() - self._t0, "step": step, **scalars}
             self._jsonl.write(json.dumps(rec) + "\n")
             self._jsonl.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in scalars.items():
+                    if isinstance(v, (int, float)):
+                        tf.summary.scalar(
+                            f"{self.prefix}/{k}" if self.prefix else k,
+                            v, step=step,
+                        )
+            self._tb.flush()
 
     def close(self) -> None:
         if self._jsonl:
             self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

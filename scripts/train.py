@@ -47,7 +47,21 @@ def main():
         jsonl_path=os.path.join(cfg.train.ckpt_dir, "train_log.jsonl")
         if cfg.train.ckpt_dir
         else None,
+        tensorboard_dir=os.path.join(cfg.train.ckpt_dir, "tb")
+        if args.tensorboard and cfg.train.ckpt_dir
+        else None,
     )
+    val_iter = None
+    if args.val_pairs_list:
+        from gdn_tpu.data.kitti import KittiTrainDataset
+        from gdn_tpu.data.nyu import NyuTrainDataset
+
+        h, w = cfg.model.image_size
+        val_cls = NyuTrainDataset if args.dataset == "nyu" else KittiTrainDataset
+        val_iter = val_cls(
+            cfg.data.data_path, args.val_pairs_list, (h, w),
+            cfg.data.batch_size, max_depth=cfg.model.max_depth,
+        )
 
     if args.mode == "DtoD":
         state = None
@@ -61,7 +75,7 @@ def main():
                 f"{cfg.train.ckpt_dir}/stage1", state
             )
             print(f"resumed stage 1 at step {int(state.step)}")
-        state = train_stage1(cfg, pipeline, state=state, logger=logger)
+        state = train_stage1(cfg, pipeline, state=state, logger=logger, val_iter=val_iter)
         print(f"stage 1 finished at step {int(state.step)}")
     else:
         stage1_dir = args.stage1_ckpt or f"{cfg.train.ckpt_dir}/stage1"
@@ -71,7 +85,7 @@ def main():
         )
         d_params = ckpt.load_params(stage1_dir, d_template.params)
         print(f"loaded stage-1 params from {stage1_dir}")
-        state = train_stage2(cfg, pipeline, d_params, logger=logger)
+        state = train_stage2(cfg, pipeline, d_params, logger=logger, val_iter=val_iter)
         print(f"stage 2 finished at step {int(state.step)}")
 
 

@@ -67,3 +67,14 @@ def test_metric_logger_jsonl(tmp_path):
     logger.close()
     lines = [json.loads(l) for l in path.read_text().splitlines()]
     assert lines[1]["step"] == 2 and lines[1]["loss"] == 0.25
+
+
+def test_metric_logger_tensorboard(tmp_path):
+    pytest.importorskip("tensorflow")
+    import glob
+
+    logger = MetricLogger(prefix="tb", tensorboard_dir=str(tmp_path / "tb"))
+    logger.log(step=1, loss=0.5)
+    logger.close()
+    events = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+    assert events, "no tfevents file written"
