@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv3x3_into(src_ref, w_ref, acc_ref, h, w):
-    """Accumulate a SAME-padded 3x3 conv of src_ref (1, H, W, Cin) into
+    """Accumulate a SAME-padded 3x3 conv of src_ref (H, W, Cin) into
     acc_ref (H, W, Cout) via 9 shifted MXU matmuls.
 
     Each tap reads a *static* slice of the input ref and += a static
@@ -46,7 +46,7 @@ def _conv3x3_into(src_ref, w_ref, acc_ref, h, w):
             sx0, sx1 = max(0, dx - 1), w + min(0, dx - 1)
             oy0, oy1 = max(0, 1 - dy), h + min(0, 1 - dy)
             ox0, ox1 = max(0, 1 - dx), w + min(0, 1 - dx)
-            src = src_ref[0, sy0:sy1, sx0:sx1, :].astype(jnp.float32)
+            src = src_ref[sy0:sy1, sx0:sx1, :].astype(jnp.float32)
             contrib = jax.lax.dot_general(
                 src, w_ref[dy, dx].astype(jnp.float32),
                 dimension_numbers=(((2,), (0,)), ((), ())),
@@ -55,25 +55,20 @@ def _conv3x3_into(src_ref, w_ref, acc_ref, h, w):
             acc_ref[oy0:oy1, ox0:ox1, :] += contrib
 
 
-def _fusion_kernel(
-    x_ref, lat_ref, wx_ref, wl_ref, scale_ref, bias_ref, out_ref, acc_ref,
-    *, groups, eps,
-):
-    h, w = x_ref.shape[1], x_ref.shape[2]
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    _conv3x3_into(x_ref, wx_ref, acc_ref, h, w)
-    _conv3x3_into(lat_ref, wl_ref, acc_ref, h, w)
-    y = acc_ref[...]
-
-    # GroupNorm, reshape-free (Mosaic cannot split the lane dim): group
-    # sums via a (C, G) one-hot matmul, stats broadcast back per channel.
+def _groupnorm_elu(y, scale, bias, groups, eps, real_c):
+    """Reshape-free GroupNorm + ELU on (H, W, Cpad) where only the
+    first `real_c` channels are real (zero padding to the 128-lane
+    boundary).  Group sums via a (Cpad, G) one-hot matmul whose rows
+    are zero for padded channels, so the statistics see only real
+    channels and the padded outputs stay exactly zero."""
     h, w, c = y.shape
-    cg = c // groups
+    cg = real_c // groups
     cid = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
     gid = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
-    gmat = (cid == gid).astype(jnp.float32)  # (C, G)
+    real = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) < real_c
+    gmat = ((cid == gid) & real).astype(jnp.float32)  # (Cpad, G)
     n = jnp.float32(h * w * cg)
-    sums = jnp.sum(y, axis=0).sum(axis=0, keepdims=True)  # (1, C)
+    sums = jnp.sum(y, axis=0).sum(axis=0, keepdims=True)  # (1, Cpad)
     sumsq = jnp.sum(y * y, axis=0).sum(axis=0, keepdims=True)
     mean_g = jnp.dot(sums, gmat, preferred_element_type=jnp.float32) / n
     ex2_g = jnp.dot(sumsq, gmat, preferred_element_type=jnp.float32) / n
@@ -81,9 +76,36 @@ def _fusion_kernel(
     mean_c = jnp.dot(mean_g, gmat.T, preferred_element_type=jnp.float32)
     var_c = jnp.dot(var_g, gmat.T, preferred_element_type=jnp.float32)
     yn = (y - mean_c) * jax.lax.rsqrt(var_c + eps)
-    yn = yn * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    yn = yn * scale + bias
     # ELU; exp(x)-1 instead of expm1 (unimplemented in Mosaic lowering)
-    out_ref[0] = jnp.where(yn > 0, yn, jnp.exp(jnp.minimum(yn, 0.0)) - 1.0)
+    return jnp.where(yn > 0, yn, jnp.exp(jnp.minimum(yn, 0.0)) - 1.0)
+
+
+def pad_lanes(x, axis: int, mult: int = 128):
+    """Zero-pad `axis` of a host-side value to a multiple of `mult` —
+    Mosaic memref slices require lane extents aligned to the 128-lane
+    tile, and the MXU is 128 wide regardless, so the padding is free."""
+    size = x.shape[axis]
+    rem = (-size) % mult
+    if rem == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, rem)
+    return jnp.pad(x, widths)
+
+
+def _fusion_kernel(
+    x_ref, lat_ref, wx_ref, wl_ref, scale_ref, bias_ref, out_ref, acc_ref,
+    *, groups, eps, real_cout,
+):
+    h, w = x_ref.shape[1], x_ref.shape[2]
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    _conv3x3_into(x_ref.at[0], wx_ref, acc_ref, h, w)
+    _conv3x3_into(lat_ref.at[0], wl_ref, acc_ref, h, w)
+    out_ref[0] = _groupnorm_elu(
+        acc_ref[...], scale_ref[0].astype(jnp.float32),
+        bias_ref[0].astype(jnp.float32), groups, eps, real_cout,
+    )
 
 
 def _reference(x, lat, wx, wl, scale, bias, groups, eps):
@@ -122,35 +144,47 @@ def fused_fusion_block(
     """
     b, h, w, cx = x.shape
     cout = wx.shape[-1]
-    kernel = functools.partial(_fusion_kernel, groups=groups, eps=eps)
+    # Lane alignment: Mosaic memref slices need channel extents in
+    # 128-lane tiles; pad channels with zeros (free on the 128-wide
+    # MXU) and slice the real channels back out after the kernel.
+    xp = pad_lanes(x, 3)
+    latp = pad_lanes(lat, 3)
+    wxp = pad_lanes(pad_lanes(wx, 2), 3)
+    wlp = pad_lanes(pad_lanes(wl, 2), 3)
+    scalep = pad_lanes(scale.reshape(1, -1), 1)
+    biasp = pad_lanes(bias.reshape(1, -1), 1)
+    cxp, clp, coutp = xp.shape[-1], latp.shape[-1], wxp.shape[-1]
+    kernel = functools.partial(
+        _fusion_kernel, groups=groups, eps=eps, real_cout=cout
+    )
     img = lambda c: pl.BlockSpec(
         (1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     full = lambda *shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    cl = lat.shape[-1]
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            img(cx),
-            img(cl),
-            full(3, 3, cx, cout),
-            full(3, 3, cl, cout),
-            full(1, cout),
-            full(1, cout),
+            img(cxp),
+            img(clp),
+            full(3, 3, cxp, coutp),
+            full(3, 3, clp, coutp),
+            full(1, coutp),
+            full(1, coutp),
         ],
-        out_specs=img(cout),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((h, w, cout), jnp.float32)],
+        out_specs=img(coutp),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, coutp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h, w, coutp), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=b * 18 * h * w * (cx + cl) * cout,
-            bytes_accessed=b * h * w * (cx + cl + cout) * 4,
-            transcendentals=b * h * w * cout,
+            flops=b * 18 * h * w * (cxp + clp) * coutp,
+            bytes_accessed=b * h * w * (cxp + clp + coutp) * 4,
+            transcendentals=b * h * w * coutp,
         ),
-    )(x, lat, wx, wl, scale.reshape(1, -1), bias.reshape(1, -1))
+    )(xp, latp, wxp, wlp, scalep, biasp)
+    return out[..., :cout]
 
 
 def _ffb_fwd(x, lat, wx, wl, scale, bias, groups, eps, interpret):

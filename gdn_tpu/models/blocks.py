@@ -168,7 +168,60 @@ class UpBlock(nn.Module):
         target_hw: Tuple[int, int],
         lateral: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        if self.cfg.upsample == "resize_conv":
+        c = self.cfg
+        if c.upsample == "resize_conv" and c.norm == "group":
+            # This branch owns its conv+GN params directly (like
+            # FusionBlock) so the parameter tree is identical whether
+            # the fused Pallas kernel or the XLA path executes —
+            # checkpoints are interchangeable across the flag.
+            cin, cout = x.shape[-1], self.features
+            kernel = self.param(
+                "up_kernel", nn.initializers.lecun_normal(),
+                (3, 3, cin, cout), jnp.float32,
+            )
+            groups = min(c.group_norm_groups, cout)
+            while cout % groups:
+                groups -= 1
+            scale = self.param("up_scale", nn.initializers.ones, (cout,), jnp.float32)
+            bias = self.param("up_bias", nn.initializers.zeros, (cout,), jnp.float32)
+
+            use_fused_up = (
+                c.use_pallas
+                and c.use_pallas_fusion
+                and c.activation == "elu"
+                and tuple(target_hw) == (2 * x.shape[1], 2 * x.shape[2])
+                and jax.default_backend() == "tpu"
+            )
+            if use_fused_up:
+                from gdn_tpu.kernels.upsample import fits_vmem
+
+                use_fused_up = fits_vmem(
+                    x.shape[1], x.shape[2], x.shape[-1], self.features
+                )
+            if use_fused_up:
+                from gdn_tpu.kernels.upsample import fused_upsample_conv
+
+                x = fused_upsample_conv(
+                    x.astype(jnp.float32), kernel, scale, bias, groups
+                ).astype(c.compute_dtype)
+            else:
+                x = resize_bilinear(x, target_hw).astype(c.compute_dtype)
+                y = jax.lax.conv_general_dilated(
+                    x, kernel.astype(c.compute_dtype), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                b, hh, ww, _ = y.shape
+                yg = y.astype(jnp.float32).reshape(
+                    b, hh * ww, groups, cout // groups
+                )
+                mean = jnp.mean(yg, axis=(1, 3), keepdims=True)
+                var = jnp.mean((yg - mean) ** 2, axis=(1, 3), keepdims=True)
+                y = ((yg - mean) * jax.lax.rsqrt(var + 1e-6)).reshape(
+                    b, hh, ww, cout
+                )
+                y = (y * scale + bias).astype(c.compute_dtype)
+                x = activation_fn(c.activation)(y)
+        elif self.cfg.upsample == "resize_conv":
             x = resize_bilinear(x, target_hw)
             x = ConvBlock(self.features, kernel=3, cfg=self.cfg)(x)
         elif self.cfg.upsample == "deconv":

@@ -1,0 +1,96 @@
+"""Deployment/serving path: AOT export of the trained G-net.
+
+The reference stops at a demo script; a production framework needs a
+deployable artifact.  ``export_model`` serializes the jitted
+RGB->depth forward (params baked in) to portable StableHLO bytes via
+``jax.export`` — loadable with ``load_model`` in a process that has
+only jax installed (no gdn_tpu model code), on any backend the export
+platform allows.  ``BatchedPredictor`` is the in-process serving
+wrapper: fixed-batch compiled inference with automatic padding of
+partial batches (static shapes — the TPU contract).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+from gdn_tpu.config import Config
+from gdn_tpu.models import RtoDNet
+
+
+def _forward_fn(cfg: Config, params):
+    model = RtoDNet(cfg=cfg.model)
+
+    def forward(rgb):
+        return model.apply({"params": params}, rgb)["depth"]
+
+    return forward
+
+
+def export_model(
+    cfg: Config,
+    params,
+    path: str,
+    batch_size: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+) -> None:
+    """Serialize the forward pass (params baked in) to `path`.
+
+    platforms: lowering platforms, e.g. ("tpu", "cpu"); defaults to the
+    current backend.
+    """
+    h, w = cfg.model.image_size
+    fwd = _forward_fn(cfg, params)
+    fn = jax.jit(fwd)
+    spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
+    exported = jax_export.export(
+        fn, platforms=tuple(platforms) if platforms else None
+    )(spec)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_model(path: str):
+    """Load an exported model; returns a callable rgb -> depth."""
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return jax.jit(exported.call)
+
+
+class BatchedPredictor:
+    """Fixed-batch compiled inference with partial-batch padding.
+
+    Serving on TPU wants one compiled program per shape; this wrapper
+    pins (batch_size, H, W, 3), pads the final partial batch, and
+    strips the padding from the results.
+    """
+
+    def __init__(self, cfg: Config, params, batch_size: int = 8):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self._fwd = jax.jit(_forward_fn(cfg, params))
+        h, w = cfg.model.image_size
+        self._shape = (batch_size, h, w, 3)
+
+    def predict(self, rgbs: np.ndarray) -> np.ndarray:
+        """rgbs (N, H, W, 3) float32 [0,1] -> depths (N, H, W) meters."""
+        n = rgbs.shape[0]
+        out: List[np.ndarray] = []
+        for start in range(0, n, self.batch_size):
+            chunk = rgbs[start : start + self.batch_size]
+            pad = self.batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)]
+                )
+            depth = np.asarray(self._fwd(jnp.asarray(chunk)))[..., 0]
+            out.append(depth[: self.batch_size - pad])
+        return np.concatenate(out) if out else np.zeros((0,))

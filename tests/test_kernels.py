@@ -158,3 +158,49 @@ def test_fusion_block_module_xla_path_matches_kernel_reference(rng):
     out = block.apply(params, x, lat)
     ref = _reference(x, lat, wx, wl, scale, bias, 4, 1e-6)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_upsample_conv_matches_reference(rng):
+    from gdn_tpu.kernels.upsample import _reference as up_ref, fused_upsample_conv
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 8)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(3, 3, 8, 8)) * 0.1).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, size=(8,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    out = fused_upsample_conv(x, w, scale, bias, 4, 1e-6, True)
+    ref = up_ref(x, w, scale, bias, 4, 1e-6)
+    assert out.shape == (2, 16, 24, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_upsample_conv_gradients(rng):
+    from gdn_tpu.kernels.upsample import _reference as up_ref, fused_upsample_conv
+
+    x = jnp.asarray(rng.normal(size=(1, 6, 8, 4)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(3, 3, 4, 4)) * 0.1).astype(np.float32))
+    scale = jnp.ones((4,), jnp.float32)
+    bias = jnp.zeros((4,), jnp.float32)
+
+    gf = jax.grad(lambda x, w: jnp.sum(fused_upsample_conv(x, w, scale, bias, 2, 1e-6, True) ** 2), argnums=(0, 1))(x, w)
+    gr = jax.grad(lambda x, w: jnp.sum(up_ref(x, w, scale, bias, 2, 1e-6) ** 2), argnums=(0, 1))(x, w)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_upsample_exactly_matches_resize_bilinear(rng):
+    """The concat-shift upsample algebra inside the kernel must equal
+    ops.resize.resize_bilinear at exactly 2x (clamp semantics)."""
+    from gdn_tpu.kernels.upsample import _upsample2x_clamp
+    from gdn_tpu.ops.resize import resize_bilinear
+
+    x = jnp.asarray(rng.uniform(0, 80, (7, 9, 3)).astype(np.float32))
+    ours = _upsample2x_clamp(x)
+    ref = resize_bilinear(x, (14, 18))
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-6, atol=1e-5)
+
+
+def test_fits_vmem_gate():
+    from gdn_tpu.kernels.upsample import fits_vmem
+
+    assert fits_vmem(16, 52, 256, 128)     # small decoder scale
+    assert not fits_vmem(64, 208, 32, 32)  # large scale falls back
