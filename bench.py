@@ -20,9 +20,9 @@ import time
 
 ESTIMATED_REFERENCE_IMGS_PER_SEC = 100.0
 
-BATCH = 32
+BATCH = 128  # amortizes the ~50ms batch-independent step cost (see BASELINE.md)
 WARMUP = 3
-ITERS = 20
+ITERS = 10
 
 
 def main():

@@ -34,6 +34,26 @@ def activation_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
     }[name]
 
 
+def _group_norm_act(y, scale, bias, groups, cfg: ModelConfig):
+    """GroupNorm + activation with bandwidth-lean dtypes: statistics
+    accumulate in float32 (tiny (B, G) tensors), all full-resolution
+    elementwise math stays in the compute dtype.  The HBM-bound train
+    step spends its time in exactly these full-res chains."""
+    b, h, w, c = y.shape
+    cg = c // groups
+    yg = y.reshape(b, h * w, groups, cg)
+    mean = jnp.mean(yg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+    ex2 = jnp.mean(
+        jnp.square(yg.astype(jnp.float32)), axis=(1, 3), keepdims=True,
+        dtype=jnp.float32,
+    )
+    var = ex2 - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    yn = (yg - mean.astype(yg.dtype)) * inv.astype(yg.dtype)
+    yn = yn.reshape(b, h, w, c) * scale.astype(yg.dtype) + bias.astype(yg.dtype)
+    return activation_fn(cfg.activation)(yn.astype(cfg.compute_dtype))
+
+
 class ConvBlock(nn.Module):
     """Conv(k,k) -> norm -> activation."""
 
@@ -54,11 +74,14 @@ class ConvBlock(nn.Module):
             param_dtype=jnp.float32,
         )(x)
         if self.cfg.norm == "group":
+            # dtype=compute_dtype keeps activations in bf16 end to end
+            # (the step is HBM-bound: fp32 GN outputs doubled the bytes);
+            # flax promotes the mean/var computation to fp32 internally.
             x = nn.GroupNorm(
                 num_groups=min(self.cfg.group_norm_groups, self.features),
-                dtype=jnp.float32,  # stats in fp32 for stability
+                dtype=self.cfg.compute_dtype,
                 param_dtype=jnp.float32,
-            )(x).astype(self.cfg.compute_dtype)
+            )(x)
         return activation_fn(self.cfg.activation)(x)
 
 
@@ -143,15 +166,8 @@ class FusionBlock(nn.Module):
             (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if use_gn:
-            b, h, w, _ = y.shape
-            yg = y.astype(jnp.float32).reshape(b, h * w, groups, cout // groups)
-            mean = jnp.mean(yg, axis=(1, 3), keepdims=True)
-            var = jnp.mean((yg - mean) ** 2, axis=(1, 3), keepdims=True)
-            y = ((yg - mean) * jax.lax.rsqrt(var + 1e-6)).reshape(b, h, w, cout)
-            y = (y * scale + bias).astype(c.compute_dtype)
-        else:
-            y = y + bias.astype(y.dtype)
-        return activation_fn(c.activation)(y)
+            return _group_norm_act(y, scale, bias, groups, c)
+        return activation_fn(c.activation)(y + bias.astype(y.dtype))
 
 
 class UpBlock(nn.Module):
@@ -205,22 +221,16 @@ class UpBlock(nn.Module):
                     x.astype(jnp.float32), kernel, scale, bias, groups
                 ).astype(c.compute_dtype)
             else:
-                x = resize_bilinear(x, target_hw).astype(c.compute_dtype)
+                # precise=False: feature-map resize stays in bf16 (the
+                # fp32 full-res intermediates were pure HBM cost).
+                x = resize_bilinear(
+                    x.astype(c.compute_dtype), target_hw, precise=False
+                )
                 y = jax.lax.conv_general_dilated(
                     x, kernel.astype(c.compute_dtype), (1, 1), "SAME",
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
-                b, hh, ww, _ = y.shape
-                yg = y.astype(jnp.float32).reshape(
-                    b, hh * ww, groups, cout // groups
-                )
-                mean = jnp.mean(yg, axis=(1, 3), keepdims=True)
-                var = jnp.mean((yg - mean) ** 2, axis=(1, 3), keepdims=True)
-                y = ((yg - mean) * jax.lax.rsqrt(var + 1e-6)).reshape(
-                    b, hh, ww, cout
-                )
-                y = (y * scale + bias).astype(c.compute_dtype)
-                x = activation_fn(c.activation)(y)
+                x = _group_norm_act(y, scale, bias, groups, c)
         elif self.cfg.upsample == "resize_conv":
             x = resize_bilinear(x, target_hw)
             x = ConvBlock(self.features, kernel=3, cfg=self.cfg)(x)

@@ -23,20 +23,30 @@ import jax
 import jax.numpy as jnp
 
 
-def _resize(x: jnp.ndarray, size: Tuple[int, int], method: str) -> jnp.ndarray:
-    """Resize the (H, W) axes of (..., H, W, C) or (H, W) arrays."""
+def _resize(
+    x: jnp.ndarray, size: Tuple[int, int], method: str, precise: bool = True
+) -> jnp.ndarray:
+    """Resize the (H, W) axes of (..., H, W, C) or (H, W) arrays.
+
+    precise=True (default) computes in float32 regardless of input
+    dtype — the eval-protocol contract.  precise=False keeps the input
+    dtype (bf16 feature maps inside the network: full-res f32
+    intermediates were a measurable HBM-traffic cost).
+    """
     orig_dtype = x.dtype
-    x32 = x.astype(jnp.float32)
+    xc = x.astype(jnp.float32) if precise else x
     if x.ndim == 2:
-        out = jax.image.resize(x32, size, method=method)
+        out = jax.image.resize(xc, size, method=method)
     else:
         shape = (*x.shape[:-3], size[0], size[1], x.shape[-1])
-        out = jax.image.resize(x32, shape, method=method)
+        out = jax.image.resize(xc, shape, method=method)
     return out.astype(orig_dtype)
 
 
-def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    return _resize(x, size, "bilinear")
+def resize_bilinear(
+    x: jnp.ndarray, size: Tuple[int, int], precise: bool = True
+) -> jnp.ndarray:
+    return _resize(x, size, "bilinear", precise)
 
 
 def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:

@@ -105,6 +105,50 @@ def make_stage2_step(
     )
 
 
+def make_stage2_multistep(
+    cfg: Config, steps_per_call: int, mesh: Optional[Mesh] = None
+):
+    """Stage-2 step scanning `steps_per_call` optimizer updates inside
+    ONE jitted call.
+
+    Batches arrive stacked on a leading axis: {k: (S, B, H, W, C)}.
+    One host dispatch then drives S full updates — on remote-attached
+    TPUs (and generally) this amortizes per-call dispatch latency, and
+    XLA can overlap the scan iterations' transfers.  Loss terms are
+    returned for the LAST step (matching what a per-step loop logs).
+    """
+    from gdn_tpu.models import DtoDNet
+
+    d_apply = DtoDNet(cfg=cfg.model).apply
+
+    def step(state: TrainState, d_params, batches: Batch):
+        def body(carry, batch):
+            state = carry
+            grad_fn = jax.value_and_grad(_stage2_loss, has_aux=True)
+            (_, terms), grads = grad_fn(
+                state.params, d_params, state.apply_fn, d_apply, batch, cfg
+            )
+            return state.apply_gradients(grads=grads), terms
+
+        state, terms = jax.lax.scan(body, state, batches)
+        last = jax.tree.map(lambda t: t[-1], terms)
+        return state, last
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    rep = replicated(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # batches: leading scan axis replicated, batch axis sharded
+    data = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, data),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
 def make_eval_forward(cfg: Config, model=None) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
     """Jitted eval forward: rgb (B,H,W,3) -> depth (B,H,W,1) fp32.
 
