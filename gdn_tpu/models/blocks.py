@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from gdn_tpu.config import ModelConfig
-from gdn_tpu.ops.resize import resize_bilinear, resize_nearest
+from gdn_tpu.ops.resize import resize_bilinear, resize_nearest, upsample2x_bilinear
 
 
 def activation_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -221,8 +221,11 @@ class UpBlock(nn.Module):
                     x.astype(jnp.float32), kernel, scale, bias, groups
                 ).astype(c.compute_dtype)
             else:
-                # precise=False: feature-map resize stays in bf16 (the
-                # fp32 full-res intermediates were pure HBM cost).
+                # precise=False keeps the feature resize in bf16.
+                # (Measured: the concat-shift interleave alternative
+                # (ops.resize.upsample2x_bilinear) lowered to costly
+                # sublane relayouts and was 1.4x SLOWER end-to-end than
+                # jax.image's transposed-matmul resize — keep this.)
                 x = resize_bilinear(
                     x.astype(c.compute_dtype), target_hw, precise=False
                 )

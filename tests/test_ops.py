@@ -57,3 +57,12 @@ def test_resize_preserves_dtype(rng):
         jnp.bfloat16
     )
     assert resize_bilinear(x, (8, 8)).dtype == jnp.bfloat16
+
+
+def test_upsample2x_matches_resize_bilinear(rng):
+    from gdn_tpu.ops.resize import resize_bilinear, upsample2x_bilinear
+
+    x = rng.uniform(0, 80, (2, 7, 9, 3)).astype(np.float32)
+    ours = np.asarray(upsample2x_bilinear(x))
+    ref = np.asarray(resize_bilinear(x, (14, 18)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-5)
