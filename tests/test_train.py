@@ -195,3 +195,54 @@ def test_validation_hook():
     )
     out = buf.getvalue()
     assert "val_total" in out and "val_recon" in out
+
+
+def test_data_parallel_stage2_matches_single_device(d_state):
+    """Stage-2 guided step: mesh vs single-device equivalence."""
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+    from gdn_tpu.parallel.mesh import create_mesh, shard_batch
+
+    mesh = create_mesh(8)
+    g_model = RtoDNet(cfg=TINY.model)
+    g_state = create_state(g_model, (1, 32, 64, 3), TINY.train, 10, freeze_decoder=True)
+    g_state = g_state.replace(
+        params=transfer_stage1_decoder(g_state.params, d_state.params)
+    )
+    batch = _batch(3)
+    step_single = make_stage2_step(TINY, mesh=None)
+    step_mesh = make_stage2_step(TINY, mesh=mesh)
+    sa = jax.tree.map(jnp.copy, g_state)
+    sb = jax.tree.map(jnp.copy, g_state)
+    s1, t1 = step_single(sa, d_state.params, batch)
+    s8, t8 = step_mesh(sb, d_state.params, shard_batch(batch, mesh))
+    assert float(t1["total"]) == pytest.approx(float(t8["total"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_multistep_scan_matches_sequential(d_state):
+    """make_stage2_multistep(k) == k sequential single steps."""
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+    from gdn_tpu.train.steps import make_stage2_multistep
+
+    K = 3
+    g_model = RtoDNet(cfg=TINY.model)
+    g_state = create_state(g_model, (1, 32, 64, 3), TINY.train, 10, freeze_decoder=True)
+    g_state = g_state.replace(
+        params=transfer_stage1_decoder(g_state.params, d_state.params)
+    )
+    batches = [_batch(10 + i) for i in range(K)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+    seq = jax.tree.map(jnp.copy, g_state)
+    step = make_stage2_step(TINY, mesh=None)
+    for b in batches:
+        seq, t_seq = step(seq, d_state.params, b)
+
+    multi = jax.tree.map(jnp.copy, g_state)
+    mstep = make_stage2_multistep(TINY, K, mesh=None)
+    multi, t_multi = mstep(multi, d_state.params, stacked)
+
+    assert float(t_seq["total"]) == pytest.approx(float(t_multi["total"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(seq.params), jax.tree.leaves(multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
