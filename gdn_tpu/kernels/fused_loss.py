@@ -47,13 +47,19 @@ def _ssim_stats(p, g, my, mx, c1, c2):
     """Blurred moments + SSIM map pieces; all (H, W) fp32, MXU matmuls."""
 
     def blur(x):
-        x = jnp.dot(my, x, preferred_element_type=jnp.float32)
-        return jnp.dot(x, mx, preferred_element_type=jnp.float32)
+        # HIGHEST precision: default bf16-mantissa MXU passes made the
+        # variance cancellation below carry errors > c2 at metric-depth
+        # scales (denominator sign flips -> NaN training); see ops/ssim.
+        x = jnp.dot(my, x, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        return jnp.dot(x, mx, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     mu_x = blur(p)
     mu_y = blur(g)
-    sxx = blur(p * p) - mu_x * mu_x
-    syy = blur(g * g) - mu_y * mu_y
+    # clamped: non-negative in exact math
+    sxx = jnp.maximum(blur(p * p) - mu_x * mu_x, 0.0)
+    syy = jnp.maximum(blur(g * g) - mu_y * mu_y, 0.0)
     sxy = blur(p * g) - mu_x * mu_y
     n1 = 2.0 * mu_x * mu_y + c1
     n2 = 2.0 * sxy + c2
@@ -141,8 +147,10 @@ def _bwd_kernel(
     a5 = 2.0 * n1 / (d1 * d2)                               # dS/dsxy
 
     def blur_t(x):
-        x = jnp.dot(myt, x, preferred_element_type=jnp.float32)
-        return jnp.dot(x, mxt, preferred_element_type=jnp.float32)
+        x = jnp.dot(myt, x, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        return jnp.dot(x, mxt, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     # dL/dp = ct*[ W^T(a1 - 2 mu_x a3 - mu_y a5) + 2p W^T(a3) + g W^T(a5) ]
     grad += ct_ssim * (

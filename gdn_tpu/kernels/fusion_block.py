@@ -72,7 +72,8 @@ def _groupnorm_elu(y, scale, bias, groups, eps, real_c):
     sumsq = jnp.sum(y * y, axis=0).sum(axis=0, keepdims=True)
     mean_g = jnp.dot(sums, gmat, preferred_element_type=jnp.float32) / n
     ex2_g = jnp.dot(sumsq, gmat, preferred_element_type=jnp.float32) / n
-    var_g = ex2_g - mean_g * mean_g
+    # clamp: E[y^2]-mean^2 can cancel slightly negative -> rsqrt NaN
+    var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
     mean_c = jnp.dot(mean_g, gmat.T, preferred_element_type=jnp.float32)
     var_c = jnp.dot(var_g, gmat.T, preferred_element_type=jnp.float32)
     yn = (y - mean_c) * jax.lax.rsqrt(var_c + eps)

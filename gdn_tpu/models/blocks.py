@@ -47,7 +47,10 @@ def _group_norm_act(y, scale, bias, groups, cfg: ModelConfig):
         jnp.square(yg.astype(jnp.float32)), axis=(1, 3), keepdims=True,
         dtype=jnp.float32,
     )
-    var = ex2 - jnp.square(mean)
+    # E[y^2]-mean^2 can go (slightly) negative by cancellation; a
+    # negative operand makes rsqrt NaN and poisons training (observed
+    # at full res ~step 150). Clamp before the rsqrt.
+    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
     inv = jax.lax.rsqrt(var + 1e-6)
     yn = (yg - mean.astype(yg.dtype)) * inv.astype(yg.dtype)
     yn = yn.reshape(b, h, w, c) * scale.astype(yg.dtype) + bias.astype(yg.dtype)

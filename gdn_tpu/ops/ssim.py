@@ -13,6 +13,7 @@ or (B, H, W, 1) float32 depth maps.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,10 +56,18 @@ def gaussian_window(window: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _blur(x: jnp.ndarray, my: jnp.ndarray, mx: jnp.ndarray) -> jnp.ndarray:
-    """Separable Gaussian blur of (B, H, W) via two MXU matmuls."""
+    """Separable Gaussian blur of (B, H, W) via two MXU matmuls.
+
+    precision=HIGHEST: TPU fp32 matmuls default to bf16 mantissa passes;
+    the later variance cancellation (E[x^2] - mu^2) then carries absolute
+    errors larger than SSIM's c2 stabilizer, which flipped denominators
+    negative and NaN'd training at metric-depth scales.
+    """
     # (B,H,W): blur rows: my @ x  -> einsum over H; blur cols: x @ mx^T.
-    x = jnp.einsum("hk,bkw->bhw", my, x, preferred_element_type=jnp.float32)
-    x = jnp.einsum("bhk,wk->bhw", x, mx, preferred_element_type=jnp.float32)
+    x = jnp.einsum("hk,bkw->bhw", my, x, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("bhk,wk->bhw", x, mx, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return x
 
 
@@ -96,8 +105,10 @@ def ssim(
     mu_yy = _blur(target * target, my, mx)
     mu_xy = _blur(pred * target, my, mx)
 
-    sigma_x = mu_xx - mu_x * mu_x
-    sigma_y = mu_yy - mu_y * mu_y
+    # clamp: exact-math non-negative, but float cancellation can dip
+    # below zero and destabilize the denominator
+    sigma_x = jnp.maximum(mu_xx - mu_x * mu_x, 0.0)
+    sigma_y = jnp.maximum(mu_yy - mu_y * mu_y, 0.0)
     sigma_xy = mu_xy - mu_x * mu_y
 
     num = (2.0 * mu_x * mu_y + c1) * (2.0 * sigma_xy + c2)
