@@ -78,3 +78,12 @@ def test_metric_logger_tensorboard(tmp_path):
     logger.close()
     events = glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
     assert events, "no tfevents file written"
+
+
+def test_multihost_helpers_single_process():
+    from gdn_tpu.parallel.multihost import local_batch_slice, maybe_initialize
+
+    assert maybe_initialize() is False  # no coordinator configured
+    assert local_batch_slice(32) == (0, 32)
+    s, e = local_batch_slice(8)
+    assert e - s == 8 and s == 0
