@@ -10,7 +10,7 @@ zero-IO benchmark source.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Tuple
+from typing import Dict, Iterator
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ resized back to each input frame's size for display.
 from __future__ import annotations
 
 import os
-from typing import Iterable, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

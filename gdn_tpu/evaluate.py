@@ -12,7 +12,6 @@ dict crosses to host, so eval fps measures the chip, not transfers.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax

@@ -28,7 +28,7 @@ enforced by tests/test_kernels.py (values and gradients).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ flax FusionBlock is enforced by tests/test_kernels.py.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

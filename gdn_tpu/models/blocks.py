@@ -15,14 +15,14 @@ SURVEY.md §2.2/§2.3):
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from gdn_tpu.config import ModelConfig
-from gdn_tpu.ops.resize import resize_bilinear, resize_nearest, upsample2x_bilinear
+from gdn_tpu.ops.resize import resize_bilinear
 
 
 def activation_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:

@@ -9,7 +9,7 @@ stages and transfer is a plain subtree copy (checkpoint.transfer_stage1).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ contract).
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ All resizes run in float32 on device regardless of the compute dtype.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ Batches are dicts:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
