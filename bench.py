@@ -16,9 +16,31 @@ an explicit, documented assumption to replace with a measured number.
 """
 
 import json
+import os
+import signal
+import sys
 import time
 
 ESTIMATED_REFERENCE_IMGS_PER_SEC = 100.0
+
+# The remote-TPU tunnel in this environment sometimes wedges for long
+# stretches; never leave the driver without its JSON line.
+BENCH_TIMEOUT_S = int(os.environ.get("GDN_BENCH_TIMEOUT", "3000"))
+
+
+def _timeout_handler(signum, frame):
+    print(
+        json.dumps(
+            {
+                "metric": "kitti_stage2_train_imgs_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "imgs/sec/chip",
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+    print("bench timed out (TPU tunnel unresponsive)", file=sys.stderr)
+    os._exit(2)
 
 BATCH = 128  # amortizes the ~50ms batch-independent step cost (see BASELINE.md)
 WARMUP = 3
@@ -26,6 +48,8 @@ ITERS = 10
 
 
 def main():
+    signal.signal(signal.SIGALRM, _timeout_handler)
+    signal.alarm(BENCH_TIMEOUT_S)
     import jax
 
     from gdn_tpu.config import kitti_config
@@ -69,6 +93,7 @@ def main():
     float(terms["total"])
     dt = time.perf_counter() - t0
 
+    signal.alarm(0)
     imgs_per_sec = BATCH * ITERS / dt
     print(
         json.dumps(

@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Export a trained stage-2 checkpoint to a portable StableHLO artifact
+(deployment surface; see gdn_tpu/serving.py).
+
+Example:
+  python scripts/export.py --model_dir checkpoints --output model.stablehlo \
+      --export_batch 8 --platforms tpu cpu
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    from gdn_tpu.cli import add_common_args, apply_platform, build_config
+
+    add_common_args(p)
+    p.add_argument("--output", type=str, required=True)
+    p.add_argument("--export_batch", type=int, default=1)
+    p.add_argument("--platforms", nargs="*", default=None,
+                   help="lowering platforms, e.g. --platforms tpu cpu")
+    args = p.parse_args()
+    apply_platform(args)
+    cfg = build_config(args)
+
+    from gdn_tpu import checkpoint as ckpt
+    from gdn_tpu.models import RtoDNet
+    from gdn_tpu.serving import export_model
+    from gdn_tpu.train import create_state
+
+    h, w = cfg.model.image_size
+    template = create_state(RtoDNet(cfg=cfg.model), (1, h, w, 3), cfg.train, 1)
+    params = ckpt.load_params(f"{cfg.train.ckpt_dir}/stage2", template.params)
+    export_model(
+        cfg, params, args.output,
+        batch_size=args.export_batch, platforms=args.platforms,
+    )
+    print(f"exported {args.output} ({os.path.getsize(args.output)/1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()
