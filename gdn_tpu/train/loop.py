@@ -36,15 +36,22 @@ def _epoch_loop(
     extra_args=(),
 ):
     t_start = time.perf_counter()
+    timed_from = 0
     for i in range(steps):
         batch = next(data_iter)
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         state, terms = step_fn(state, *extra_args, batch)
+        if i == 0:
+            # restart the clock after the first step so jit compile time
+            # doesn't pollute the reported imgs/sec
+            jax.tree.map(float, jax.device_get(terms))
+            t_start = time.perf_counter()
+            timed_from = 1
         if (i + 1) % log_every == 0 or i == steps - 1:
             terms = jax.tree.map(float, jax.device_get(terms))
-            elapsed = time.perf_counter() - t_start
-            imgs_per_sec = batch_size * (i + 1) / elapsed
+            elapsed = max(time.perf_counter() - t_start, 1e-9)
+            imgs_per_sec = batch_size * (i + 1 - timed_from) / elapsed
             logger.log(
                 step=int(state.step), imgs_per_sec=imgs_per_sec, **terms
             )
