@@ -29,19 +29,47 @@ def main():
     apply_platform(args)
     cfg = build_config(args)
 
+    import jax
+
     from gdn_tpu import checkpoint as ckpt
     from gdn_tpu.data.pipeline import make_loader
     from gdn_tpu.evaluate import evaluate
-    from gdn_tpu.models import RtoDNet
+    from gdn_tpu.models import DtoDNet, RtoDNet
     from gdn_tpu.train import create_state, make_eval_forward
 
     h, w = cfg.model.image_size
-    template = create_state(
-        RtoDNet(cfg=cfg.model), (1, h, w, 3), cfg.train, 1
-    )
-    params = ckpt.load_params(f"{cfg.train.ckpt_dir}/stage2", template.params)
-    forward = make_eval_forward(cfg)
     dataset = make_loader(cfg, "eval")
+    if args.stage == "1":
+        # Stage-1 reconstruction eval: the D-net autoencodes the GT
+        # depth (downsampled to train res) and is scored against the
+        # raw-res GT through the same protocol.
+        template = create_state(
+            DtoDNet(cfg=cfg.model), (1, h, w, 1), cfg.train, 1
+        )
+        params = ckpt.load_params(
+            f"{cfg.train.ckpt_dir}/stage1", template.params
+        )
+        model = DtoDNet(cfg=cfg.model)
+        forward = jax.jit(
+            lambda p, depth: model.apply({"params": p}, depth)["depth"]
+        )
+        from gdn_tpu.ops.resize import resize_nearest
+
+        def stage1_ds(source):
+            for sample in source:
+                gt = sample["gt"]
+                depth_in = resize_nearest(gt[0], (h, w))[None, ..., None]
+                yield {"rgb": depth_in, "gt": gt}
+
+        dataset = stage1_ds(dataset)
+    else:
+        template = create_state(
+            RtoDNet(cfg=cfg.model), (1, h, w, 3), cfg.train, 1
+        )
+        params = ckpt.load_params(
+            f"{cfg.train.ckpt_dir}/stage2", template.params
+        )
+        forward = make_eval_forward(cfg)
     results = evaluate(
         cfg, params, forward, dataset, max_images=args.max_images
     )

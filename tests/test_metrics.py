@@ -84,3 +84,41 @@ def test_accumulator():
     acc.update({k: 3.0 for k in metrics.METRIC_NAMES})
     assert acc.result()["rmse"] == 2.0
     assert "abs_rel" in acc.table()
+
+
+def test_full_eval_protocol_parity_with_torch(rng):
+    """End-to-end fp32 parity of the eval protocol (SURVEY.md §2.7
+    'bit-comparable at fp32'): network-res prediction -> antialiased
+    bilinear upsample to GT res -> garg crop -> 80 m cap -> metrics,
+    implemented independently in torch/numpy."""
+    import torch
+    import torch.nn.functional as F
+
+    from gdn_tpu.ops.resize import resize_bilinear
+
+    gt = rng.uniform(0.5, 85.0, size=(375, 1242)).astype(np.float32)
+    pred_small = rng.uniform(1.0, 79.0, size=(128, 416)).astype(np.float32)
+
+    # ours (jax)
+    pred_up = np.asarray(resize_bilinear(pred_small, (375, 1242)))
+    ours = {
+        k: float(v)
+        for k, v in metrics.evaluate_prediction(
+            gt, pred_up, cap=80.0, min_depth=1e-3, crop="garg"
+        ).items()
+    }
+
+    # torch/numpy oracle
+    t_pred = F.interpolate(
+        torch.from_numpy(pred_small)[None, None], size=(375, 1242),
+        mode="bilinear", align_corners=False, antialias=True,
+    )[0, 0].numpy()
+    t_pred = np.clip(t_pred, 1e-3, 80.0)
+    mask = (gt > 1e-3) & (gt < 80.0)
+    cm = metrics.crop_mask(375, 1242, "garg")
+    sel = mask & cm
+    ref = oracle_compute_errors(
+        gt[sel].astype(np.float64), t_pred[sel].astype(np.float64)
+    )
+    for k, v in ref.items():
+        assert ours[k] == pytest.approx(v, rel=2e-4), k
