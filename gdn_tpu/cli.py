@@ -76,6 +76,9 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--crop", choices=["garg", "eigen", "none"], default=None)
     p.add_argument("--median_scaling", action="store_true")
     p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--eval_batch", type=int, default=8,
+                   help="images per compiled eval step (metrics stay "
+                        "per-image; batching amortizes dispatch)")
 
 
 def build_config(args: argparse.Namespace) -> Config:
@@ -122,4 +125,6 @@ def build_config(args: argparse.Namespace) -> Config:
             over["eval.crop"] = args.crop
         if args.median_scaling:
             over["eval.median_scaling"] = True
+        if getattr(args, "eval_batch", None):
+            over["eval.batch_size"] = args.eval_batch
     return _with(cfg, **over)

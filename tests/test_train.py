@@ -246,3 +246,29 @@ def test_multistep_scan_matches_sequential(d_state):
     assert float(t_seq["total"]) == pytest.approx(float(t_multi["total"]), rel=1e-5)
     for a, b in zip(jax.tree.leaves(seq.params), jax.tree.leaves(multi.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_eval_batched_matches_per_image(d_state):
+    """Batched eval (eval.batch_size>1) must produce identical metrics
+    to per-image eval, including the padded final partial batch."""
+    import dataclasses
+    from gdn_tpu.config import EvalConfig
+    from gdn_tpu.evaluate import evaluate
+
+    g_model = RtoDNet(cfg=TINY.model)
+    g_state = create_state(g_model, (1, 32, 64, 3), TINY.train, 10)
+    fwd = make_eval_forward(TINY, g_model)
+
+    def eval_ds():
+        rng = np.random.default_rng(0)
+        for i in range(5):  # 5 images -> batch 4 + padded partial batch
+            b = _batch(100 + i, b=1)
+            gt = rng.uniform(1, 79, (1, 96, 192)).astype(np.float32)
+            yield {"rgb": np.asarray(b["rgb"]), "gt": gt}
+
+    cfg1 = Config(model=TINY.model, eval=EvalConfig(batch_size=1), train=TINY.train)
+    cfg4 = Config(model=TINY.model, eval=EvalConfig(batch_size=4), train=TINY.train)
+    r1 = evaluate(cfg1, g_state.params, fwd, eval_ds(), verbose=False)
+    r4 = evaluate(cfg4, g_state.params, fwd, eval_ds(), verbose=False)
+    for k in ("abs_rel", "rmse", "a1", "rmse_log"):
+        assert r1[k] == pytest.approx(r4[k], rel=1e-6), k
