@@ -21,6 +21,7 @@ from gdn_tpu.ops.colormap import colorize_depth
 from gdn_tpu.ops.resize import resize_bilinear
 
 IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
 
 
 def list_inputs(path: str) -> List[str]:
@@ -31,6 +32,22 @@ def list_inputs(path: str) -> List[str]:
             if f.lower().endswith(IMAGE_EXTS)
         )
     return [path]
+
+
+def iter_frames(path: str):
+    """Yield (name, rgb uint8 HWC) for an image file, a directory of
+    frames, or a video file (SURVEY.md §2.8 video-sequence inference)."""
+    if os.path.isfile(path) and path.lower().endswith(VIDEO_EXTS):
+        import imageio.v3 as iio
+
+        for i, frame in enumerate(iio.imiter(path)):
+            yield f"frame{i:05d}", np.asarray(frame)[..., :3]
+        return
+    for p in list_inputs(path):
+        yield (
+            os.path.splitext(os.path.basename(p))[0],
+            np.asarray(Image.open(p).convert("RGB")),
+        )
 
 
 class DepthPredictor:
@@ -69,15 +86,11 @@ def run_demo(
     os.makedirs(output_dir, exist_ok=True)
     predictor = DepthPredictor(cfg, params)
     written, frames = [], []
-    for path in list_inputs(input_path):
-        rgb = np.asarray(Image.open(path).convert("RGB"))
+    for name, rgb in iter_frames(input_path):
         depth = predictor(rgb)
         color = colorize_depth(depth, cfg.model.max_depth, cmap)
         frame = np.concatenate([rgb, color], axis=0) if side_by_side else color
-        out_path = os.path.join(
-            output_dir,
-            os.path.splitext(os.path.basename(path))[0] + "_depth.png",
-        )
+        out_path = os.path.join(output_dir, name + "_depth.png")
         Image.fromarray(frame).save(out_path)
         written.append(out_path)
         frames.append(frame)

@@ -76,3 +76,19 @@ def test_run_demo_writes_outputs(tmp_path, g_params):
     assert img.size == (96, 96)  # side-by-side stack: 48 + 48 tall
     gif = Image.open(gifs[0])
     assert getattr(gif, "n_frames", 1) == 3
+
+
+def test_run_demo_video_input(tmp_path, g_params):
+    import imageio.v3 as iio
+    from gdn_tpu.demo import run_demo
+
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 255, (4, 48, 96, 3), dtype=np.uint8)
+    video = str(tmp_path / "clip.mp4")
+    try:
+        iio.imwrite(video, frames, fps=5)
+    except Exception as e:
+        pytest.skip(f"no mp4 encoder available: {e}")
+    written = run_demo(TINY, g_params, video, str(tmp_path / "out"), gif="v.gif")
+    pngs = [w for w in written if w.endswith(".png")]
+    assert len(pngs) == 4
