@@ -17,18 +17,44 @@ import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 
-def _manager(ckpt_dir: str, keep: int = 3) -> ocp.CheckpointManager:
-    return ocp.CheckpointManager(
-        os.path.abspath(ckpt_dir),
-        options=ocp.CheckpointManagerOptions(
-            max_to_keep=keep, create=True, enable_async_checkpointing=False
-        ),
-    )
+_MANAGERS: dict = {}
 
 
-def save_checkpoint(ckpt_dir: str, step: int, state: Any, keep: int = 3) -> None:
-    """Save {params, opt_state, step} at `step`."""
-    mgr = _manager(ckpt_dir, keep)
+def _manager(
+    ckpt_dir: str, keep: int = 3, use_async: bool = False, kind: str = "std"
+) -> ocp.CheckpointManager:
+    """Cached per-directory manager (a fresh manager per save would
+    re-scan the directory and, for async saves, lose the in-flight
+    commit).  `kind` separates managers by handler type: a manager
+    binds its item handler on first use, so Standard and PyTree
+    restores need distinct instances."""
+    key = (os.path.abspath(ckpt_dir), use_async, kind)
+    if key not in _MANAGERS:
+        _MANAGERS[key] = ocp.CheckpointManager(
+            os.path.abspath(ckpt_dir),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True,
+                enable_async_checkpointing=use_async,
+            ),
+        )
+    return _MANAGERS[key]
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    step: int,
+    state: Any,
+    keep: int = 3,
+    use_async: bool = False,
+) -> None:
+    """Save {params, opt_state, step} at `step`.
+
+    use_async=True overlaps the write with subsequent training (orbax
+    async checkpointing — the SURVEY.md §5 checkpoint/resume row);
+    call :func:`wait_for_checkpoints` before reading the files back or
+    exiting the process.
+    """
+    mgr = _manager(ckpt_dir, keep, use_async)
     payload = {
         "params": state.params,
         "opt_state": state.opt_state,
@@ -36,8 +62,15 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any, keep: int = 3) -> None
         "step": jnp.asarray(state.step, jnp.int32),
     }
     mgr.save(step, args=ocp.args.StandardSave(payload))
-    mgr.wait_until_finished()
-    mgr.close()
+    if not use_async:
+        mgr.wait_until_finished()
+
+
+def wait_for_checkpoints(ckpt_dir: str) -> None:
+    """Block until async saves for `ckpt_dir` are durable."""
+    for (path, _, _), mgr in list(_MANAGERS.items()):
+        if path == os.path.abspath(ckpt_dir):
+            mgr.wait_until_finished()
 
 
 def restore_checkpoint(
@@ -46,6 +79,7 @@ def restore_checkpoint(
     """Restore into an abstract/concrete `state` template; returns the
     updated TrainState (resume covers params+opt_state+step)."""
     mgr = _manager(ckpt_dir)
+    mgr.reload()  # pick up checkpoints written by other managers/processes
     step = step if step is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
@@ -55,7 +89,6 @@ def restore_checkpoint(
         "step": jnp.asarray(state.step, jnp.int32),
     }
     restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
-    mgr.close()
     return state.replace(
         params=restored["params"],
         opt_state=restored["opt_state"],
@@ -65,7 +98,8 @@ def restore_checkpoint(
 
 def load_params(ckpt_dir: str, params_template: Any, step: Optional[int] = None):
     """Load only the params tree (eval/demo path)."""
-    mgr = _manager(ckpt_dir)
+    mgr = _manager(ckpt_dir, kind="pytree")
+    mgr.reload()
     step = step if step is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
@@ -75,7 +109,6 @@ def load_params(ckpt_dir: str, params_template: Any, step: Optional[int] = None)
             {"params": params_template}, partial_restore=True
         ),
     )
-    mgr.close()
     return restored["params"]
 
 

@@ -272,3 +272,18 @@ def test_eval_batched_matches_per_image(d_state):
     r4 = evaluate(cfg4, g_state.params, fwd, eval_ds(), verbose=False)
     for k in ("abs_rel", "rmse", "a1", "rmse_log"):
         assert r1[k] == pytest.approx(r4[k], rel=1e-6), k
+
+
+def test_async_checkpoint_roundtrip(tmp_path, d_state):
+    from gdn_tpu.checkpoint import (
+        restore_checkpoint, save_checkpoint, wait_for_checkpoints,
+    )
+
+    step = make_stage1_step(TINY, mesh=None)
+    state, _ = step(d_state, _batch())
+    save_checkpoint(str(tmp_path / "ck"), 1, state, use_async=True)
+    wait_for_checkpoints(str(tmp_path / "ck"))
+    fresh = create_state(DtoDNet(cfg=TINY.model), (1, 32, 64, 1), TINY.train, 10)
+    restored = restore_checkpoint(str(tmp_path / "ck"), fresh)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
