@@ -68,7 +68,8 @@ def _ssim_stats(p, g, my, mx, c1, c2):
     return mu_x, mu_y, n1, n2, d1, d2
 
 
-def _fwd_kernel(pred_ref, gt_ref, mask_ref, my_ref, mx_ref, out_ref, *, c1, c2):
+def _fwd_kernel(pred_ref, gt_ref, mask_ref, my_ref, mx_ref, out_ref,
+                *, c1, c2, inv_max):
     # out_ref is the full (B, 8) array (small tiles are not legal TPU
     # blocks); each program writes its own row.
     b = pl.program_id(0)
@@ -93,17 +94,21 @@ def _fwd_kernel(pred_ref, gt_ref, mask_ref, my_ref, mx_ref, out_ref, *, c1, c2):
     out_ref[b, _NGY] = jnp.sum(mdy)
 
     # SSIM term: blur via MXU matmuls (mx is passed pre-transposed so
-    # in-kernel it is a plain right-multiply)
+    # in-kernel it is a plain right-multiply).  Inputs are normalized
+    # to [0,1] here (SSIM is scale invariant): even if a backend runs
+    # the blur at bf16-mantissa precision, the variance-cancellation
+    # error then stays below the clamps/c2 instead of scaling with
+    # (metric depth)^2.
     my = my_ref[:].astype(jnp.float32)
     mx = mx_ref[:].astype(jnp.float32)
-    _, _, n1, n2, d1, d2 = _ssim_stats(p, g, my, mx, c1, c2)
+    _, _, n1, n2, d1, d2 = _ssim_stats(p * inv_max, g * inv_max, my, mx, c1, c2)
     out_ref[b, _SSIM] = jnp.sum((n1 * n2) / (d1 * d2))
     out_ref[b, _NPIX] = jnp.float32(p.shape[0] * p.shape[1])
 
 
 def _bwd_kernel(
     pred_ref, gt_ref, mask_ref, my_ref, mx_ref, myt_ref, mxt_ref, ct_ref,
-    dpred_ref, *, c1, c2,
+    dpred_ref, *, c1, c2, inv_max,
 ):
     """dL/dpred for upstream cotangents ct = (ct_l1, ct_gx, ct_gy,
     ct_ssim) given per-image (already normalized by the caller)."""
@@ -140,7 +145,10 @@ def _bwd_kernel(
     mx = mx_ref[:].astype(jnp.float32)
     myt = myt_ref[:].astype(jnp.float32)
     mxt = mxt_ref[:].astype(jnp.float32)
-    mu_x, mu_y, n1, n2, d1, d2 = _ssim_stats(p, g, my, mx, c1, c2)
+    # normalized space (see _fwd_kernel); d/d(raw pred) = inv_max * d/d(pn)
+    pn = p * inv_max
+    gn_ = g * inv_max
+    mu_x, mu_y, n1, n2, d1, d2 = _ssim_stats(pn, gn_, my, mx, c1, c2)
     s = (n1 * n2) / (d1 * d2)
     a1 = 2.0 * mu_y * n2 / (d1 * d2) - s * 2.0 * mu_x / d1  # dS/dmu_x
     a3 = -s / d2                                            # dS/dsxx
@@ -152,18 +160,19 @@ def _bwd_kernel(
         return jnp.dot(x, mxt, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
 
-    # dL/dp = ct*[ W^T(a1 - 2 mu_x a3 - mu_y a5) + 2p W^T(a3) + g W^T(a5) ]
-    grad += ct_ssim * (
+    # dL/dpn = ct*[ W^T(a1 - 2 mu a3 - mu_y a5) + 2 pn W^T(a3) + gn W^T(a5) ];
+    # chain rule back to raw pred multiplies by inv_max.
+    grad += (ct_ssim * inv_max) * (
         blur_t(a1 - 2.0 * mu_x * a3 - mu_y * a5)
-        + 2.0 * p * blur_t(a3)
-        + g * blur_t(a5)
+        + 2.0 * pn * blur_t(a3)
+        + gn_ * blur_t(a5)
     )
     dpred_ref[0] = grad
 
 
-def _call_fwd(pred, gt, mask, my, mx, c1, c2, interpret):
+def _call_fwd(pred, gt, mask, my, mx, c1, c2, inv_max, interpret):
     b, h, w = pred.shape
-    kernel = functools.partial(_fwd_kernel, c1=c1, c2=c2)
+    kernel = functools.partial(_fwd_kernel, c1=c1, c2=c2, inv_max=inv_max)
     return pl.pallas_call(
         kernel,
         grid=(b,),
@@ -189,9 +198,9 @@ def _call_fwd(pred, gt, mask, my, mx, c1, c2, interpret):
     )(pred, gt, mask, my, mx)
 
 
-def _call_bwd(pred, gt, mask, my, mx, myt, mxt, cts, c1, c2, interpret):
+def _call_bwd(pred, gt, mask, my, mx, myt, mxt, cts, c1, c2, inv_max, interpret):
     b, h, w = pred.shape
-    kernel = functools.partial(_bwd_kernel, c1=c1, c2=c2)
+    kernel = functools.partial(_bwd_kernel, c1=c1, c2=c2, inv_max=inv_max)
     img = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -246,9 +255,10 @@ def _normalize(raw):
 def _fused_terms_fwd(pred, gt, mask, max_val, window, sigma, interpret, hw):
     h, w = hw
     my, mx, myt, mxt = _blur_mats(h, w, window, sigma)
-    c1 = (0.01 * max_val) ** 2
-    c2 = (0.03 * max_val) ** 2
-    raw = _call_fwd(pred, gt, mask, my, mx, c1, c2, interpret)
+    # SSIM runs on in-kernel-normalized inputs -> constants at L=1
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
+    raw = _call_fwd(pred, gt, mask, my, mx, c1, c2, 1.0 / max_val, interpret)
     recon, grad, ssim_mean = _normalize(raw)
     out = jnp.stack([recon, grad, ssim_mean])
     residuals = (pred, gt, mask, raw)
@@ -260,8 +270,8 @@ def _fused_terms_bwd(max_val, window, sigma, interpret, hw, residuals, ct):
     h, w = hw
     b = pred.shape[0]
     my, mx, myt, mxt = _blur_mats(h, w, window, sigma)
-    c1 = (0.01 * max_val) ** 2
-    c2 = (0.03 * max_val) ** 2
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
     tot = jnp.sum(raw, axis=0)
     # chain rule through the normalizations (counts are non-diff)
     ct_l1 = ct[0] / jnp.maximum(tot[_NM], 1.0)
@@ -271,7 +281,9 @@ def _fused_terms_bwd(max_val, window, sigma, interpret, hw, residuals, ct):
     cts = jnp.broadcast_to(
         jnp.stack([ct_l1, ct_gx, ct_gy, ct_ssim])[None, :], (b, 4)
     ).astype(jnp.float32)
-    dpred = _call_bwd(pred, gt, mask, my, mx, myt, mxt, cts, c1, c2, interpret)
+    dpred = _call_bwd(
+        pred, gt, mask, my, mx, myt, mxt, cts, c1, c2, 1.0 / max_val, interpret
+    )
     return dpred, None, None
 
 
