@@ -79,6 +79,9 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--eval_batch", type=int, default=8,
                    help="images per compiled eval step (metrics stay "
                         "per-image; batching amortizes dispatch)")
+    p.add_argument("--save_preds", type=str, default="",
+                   help="also save per-image predicted depth (.npy, train "
+                        "resolution) into this directory")
 
 
 def build_config(args: argparse.Namespace) -> Config:

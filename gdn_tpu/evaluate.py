@@ -55,6 +55,7 @@ def evaluate(
     dataset: Iterable[Dict[str, np.ndarray]],
     max_images: Optional[int] = None,
     verbose: bool = True,
+    save_preds: Optional[str] = None,
 ) -> Dict[str, float]:
     """Run the eval split; returns the metric table (+ 'fps').
 
@@ -71,6 +72,11 @@ def evaluate(
     n = 0
     t0 = None
     pending: Dict[Tuple[int, int], list] = {}
+    if save_preds:
+        import os
+
+        os.makedirs(save_preds, exist_ok=True)
+        pred_fwd = jax.jit(forward)
 
     def flush(shape):
         nonlocal t0, n
@@ -95,6 +101,14 @@ def evaluate(
             if t0 is None:
                 t0 = time.perf_counter()
         result = jax.tree.map(np.asarray, steps[shape](params, rgb, gt))
+        if save_preds:
+            import os
+
+            preds = np.asarray(pred_fwd(params, rgb))[..., 0]
+            for i in range(len(samples)):
+                np.save(
+                    os.path.join(save_preds, f"pred_{n + i:06d}.npy"), preds[i]
+                )
         for i in range(len(samples)):
             acc.update({k: float(v[i]) for k, v in result.items()})
             n += 1

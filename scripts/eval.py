@@ -71,7 +71,8 @@ def main():
         )
         forward = make_eval_forward(cfg)
     results = evaluate(
-        cfg, params, forward, dataset, max_images=args.max_images
+        cfg, params, forward, dataset, max_images=args.max_images,
+        save_preds=args.save_preds or None,
     )
     print(
         " ".join(
