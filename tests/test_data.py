@@ -272,3 +272,22 @@ def test_nyu_labeled_mat_reader(tmp_path):
     assert s["rgb"].shape == (1, 228, 304, 3)
     assert s["gt"].shape == (1, 426, 560)  # center-cropped native res
     assert 0.0 <= s["rgb"].min() and s["rgb"].max() <= 1.0
+
+
+def test_augmentation_zoom_scales_depth():
+    """Zooming in by s divides depth by s (focal-length compensation);
+    a constant-depth scene makes this exactly checkable."""
+    import jax.numpy as jnp
+
+    cfg = DataConfig(
+        random_flip=False, color_jitter=False, random_crop=True,
+        scale_range=(1.25, 1.25),  # fixed zoom
+    )
+    batch = {
+        "rgb": jnp.ones((2, 32, 48, 3), jnp.float32) * 0.5,
+        "depth": jnp.full((2, 32, 48, 1), 40.0, jnp.float32),
+        "mask": jnp.ones((2, 32, 48, 1), jnp.float32),
+    }
+    out = augment_batch(jax.random.PRNGKey(0), batch, cfg)
+    np.testing.assert_allclose(np.asarray(out["depth"]), 40.0 / 1.25, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["mask"]), 1.0)
