@@ -287,3 +287,31 @@ def test_async_checkpoint_roundtrip(tmp_path, d_state):
     restored = restore_checkpoint(str(tmp_path / "ck"), fresh)
     for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multistep_sharded_on_mesh(d_state):
+    """make_stage2_multistep with a mesh: scan axis replicated, batch
+    axis sharded — compiles and matches the unsharded multistep."""
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+    from gdn_tpu.parallel.mesh import create_mesh
+    from gdn_tpu.train.steps import make_stage2_multistep
+
+    K = 2
+    mesh = create_mesh(8)
+    g_model = RtoDNet(cfg=TINY.model)
+    g_state = create_state(g_model, (1, 32, 64, 3), TINY.train, 10, freeze_decoder=True)
+    g_state = g_state.replace(
+        params=transfer_stage1_decoder(g_state.params, d_state.params)
+    )
+    batches = [_batch(20 + i) for i in range(K)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+    plain = make_stage2_multistep(TINY, K, mesh=None)
+    sharded = make_stage2_multistep(TINY, K, mesh=mesh)
+    sa = jax.tree.map(jnp.copy, g_state)
+    sb = jax.tree.map(jnp.copy, g_state)
+    s1, t1 = plain(sa, d_state.params, stacked)
+    s8, t8 = sharded(sb, d_state.params, stacked)
+    assert float(t1["total"]) == pytest.approx(float(t8["total"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
