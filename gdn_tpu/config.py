@@ -57,10 +57,10 @@ class ModelConfig:
     dtype: str = "bfloat16"
     # Use Pallas kernels for fused blocks where available.
     use_pallas: bool = True
-    # Fused fusion-block kernel (kernels/fusion_block.py): separate gate,
-    # default off until its Mosaic compile is validated on real TPU (the
-    # remote compile service was congested when it landed); interpret-mode
-    # equivalence is tested either way.
+    # Fused fusion/upsample block kernels: TPU-validated correct but
+    # MEASURED SLOWER than XLA convs at these channel widths (the
+    # 128-lane padding tax; see BASELINE.md) — default off, kept as a
+    # capability with equivalence tests.
     use_pallas_fusion: bool = False
 
     @property
