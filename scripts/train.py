@@ -85,7 +85,23 @@ def main():
         )
         d_params = ckpt.load_params(stage1_dir, d_template.params)
         print(f"loaded stage-1 params from {stage1_dir}")
-        state = train_stage2(cfg, pipeline, d_params, logger=logger, val_iter=val_iter)
+        state = None
+        if args.resume:
+            from gdn_tpu.models import RtoDNet
+
+            state = create_state(
+                RtoDNet(cfg=cfg.model), (1, h, w, 3), cfg.train,
+                cfg.train.steps_per_epoch,
+                freeze_decoder=cfg.train.freeze_decoder,
+            )
+            state = ckpt.restore_checkpoint(
+                f"{cfg.train.ckpt_dir}/stage2", state
+            )
+            print(f"resumed stage 2 at step {int(state.step)}")
+        state = train_stage2(
+            cfg, pipeline, d_params, state=state, logger=logger,
+            val_iter=val_iter,
+        )
         print(f"stage 2 finished at step {int(state.step)}")
 
 
