@@ -28,17 +28,22 @@ ESTIMATED_REFERENCE_IMGS_PER_SEC = 100.0
 BENCH_TIMEOUT_S = int(os.environ.get("GDN_BENCH_TIMEOUT", "3000"))
 
 
-def _timeout_handler(signum, frame):
+def _emit(value: float, vs_baseline: float) -> None:
     print(
         json.dumps(
             {
                 "metric": "kitti_stage2_train_imgs_per_sec_per_chip",
-                "value": 0.0,
+                "value": value,
                 "unit": "imgs/sec/chip",
-                "vs_baseline": 0.0,
+                "vs_baseline": vs_baseline,
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def _timeout_handler(signum, frame):
+    _emit(0.0, 0.0)
     print("bench timed out (TPU tunnel unresponsive)", file=sys.stderr)
     os._exit(2)
 
@@ -95,19 +100,21 @@ def main():
 
     signal.alarm(0)
     imgs_per_sec = BATCH * ITERS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "kitti_stage2_train_imgs_per_sec_per_chip",
-                "value": round(imgs_per_sec, 2),
-                "unit": "imgs/sec/chip",
-                "vs_baseline": round(
-                    imgs_per_sec / ESTIMATED_REFERENCE_IMGS_PER_SEC, 3
-                ),
-            }
-        )
+    _emit(
+        round(imgs_per_sec, 2),
+        round(imgs_per_sec / ESTIMATED_REFERENCE_IMGS_PER_SEC, 3),
     )
 
 
 if __name__ == "__main__":
-    main()
+    # Contract (CLAUDE.md): ALWAYS print exactly one JSON line, even if
+    # backend init explodes (round 1 died on a dead-tunnel RuntimeError
+    # before the SIGALRM watchdog mattered).
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - the JSON line is the contract
+        _emit(0.0, 0.0)
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        sys.exit(1)

@@ -53,6 +53,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--decay_gamma", type=float, default=0.5)
     p.add_argument("--steps_per_epoch", type=int, default=1000,
                    help="steps per epoch for synthetic/unbounded data")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="optimizer steps fused into one jitted call "
+                        "(lax.scan); amortizes per-dispatch latency. "
+                        "Must divide steps_per_epoch")
     p.add_argument("--stage1_ckpt", type=str, default="",
                    help="(RtoD) stage-1 checkpoint dir; default "
                         "<model_dir>/stage1")
@@ -116,6 +120,7 @@ def build_config(args: argparse.Namespace) -> Config:
             "train.decay_epochs": args.decay_epochs,
             "train.decay_gamma": args.decay_gamma,
             "train.steps_per_epoch": args.steps_per_epoch,
+            "train.steps_per_call": args.steps_per_call,
             "train.freeze_decoder": not args.no_freeze_decoder,
             "train.log_every": args.log_every,
             "mesh.num_devices": args.num_devices,

@@ -141,6 +141,11 @@ class TrainConfig:
     keep_ckpts: int = 3
     # Steps per epoch when the dataset is synthetic/unbounded.
     steps_per_epoch: int = 1000
+    # Optimizer steps fused into ONE jitted call (lax.scan over stacked
+    # batches).  >1 amortizes per-dispatch host latency — the measured
+    # ~50 ms batch-independent step cost (BASELINE.md) — at the price of
+    # K batches resident on device.  Must divide steps_per_epoch.
+    steps_per_call: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

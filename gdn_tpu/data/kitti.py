@@ -125,47 +125,44 @@ class KittiTrainDataset:
         depth = load_depth(os.path.join(self.data_path, entry[1]), self.size)
         return rgb, depth
 
+    def _make_batch(self, idx) -> Dict[str, np.ndarray]:
+        if self._native:
+            from gdn_tpu.data import native_io
+
+            rgb_paths = [
+                os.path.join(self.data_path, self.entries[i][0]) for i in idx
+            ]
+            d_paths = [
+                os.path.join(self.data_path, self.entries[i][1]) for i in idx
+            ]
+            rgb = native_io.decode_rgb_batch(rgb_paths, *self.size)
+            depth = native_io.decode_depth_batch(d_paths, *self.size)[..., None]
+        else:
+            rgbs, depths = zip(*(self._load_pair(self.entries[i]) for i in idx))
+            rgb = np.stack(rgbs)
+            depth = np.stack(depths)[..., None]
+        mask = ((depth > 0.0) & (depth < self.max_depth)).astype(np.float32)
+        return {
+            "rgb": rgb,
+            "depth": np.clip(depth, 0.0, self.max_depth),
+            "mask": mask,
+        }
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from gdn_tpu.data.batching import iter_batch_indices
+
         order = np.arange(len(self.entries))
         while True:
             if self.shuffle:
                 self._rng.shuffle(order)
-            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
-                idx = order[start : start + self.batch_size]
-                if self._native:
-                    from gdn_tpu.data import native_io
-
-                    rgb_paths = [
-                        os.path.join(self.data_path, self.entries[i][0])
-                        for i in idx
-                    ]
-                    d_paths = [
-                        os.path.join(self.data_path, self.entries[i][1])
-                        for i in idx
-                    ]
-                    rgb_batch = native_io.decode_rgb_batch(rgb_paths, *self.size)
-                    depth = native_io.decode_depth_batch(d_paths, *self.size)[
-                        ..., None
-                    ]
-                    mask = (
-                        (depth > 0.0) & (depth < self.max_depth)
-                    ).astype(np.float32)
-                    yield {
-                        "rgb": rgb_batch,
-                        "depth": np.clip(depth, 0.0, self.max_depth),
-                        "mask": mask,
-                    }
-                    continue
-                rgbs, depths = zip(*(self._load_pair(self.entries[i]) for i in idx))
-                depth = np.stack(depths)[..., None]
-                mask = (
-                    (depth > 0.0) & (depth < self.max_depth)
-                ).astype(np.float32)
-                yield {
-                    "rgb": np.stack(rgbs),
-                    "depth": np.clip(depth, 0.0, self.max_depth),
-                    "mask": mask,
-                }
+            for idx, n_pad in iter_batch_indices(
+                order, self.batch_size, self.loop
+            ):
+                batch = self._make_batch(idx)
+                if n_pad:
+                    # padded rows must not contribute to masked losses
+                    batch["mask"][-n_pad:] = 0.0
+                yield batch
             if not self.loop:
                 break
 

@@ -80,38 +80,47 @@ class NyuTrainDataset:
     def __len__(self) -> int:
         return len(self.entries)
 
+    def _make_batch(self, idx) -> Dict[str, np.ndarray]:
+        rgbs, depths = [], []
+        for i in idx:
+            rgb_rel, d_rel = self.entries[i][:2]
+            rgb = load_rgb(os.path.join(self.data_path, rgb_rel))
+            rgb = center_crop_nyu(rgb)
+            if rgb.shape[:2] != self.size:
+                img = Image.fromarray((rgb * 255).astype(np.uint8))
+                rgb = (
+                    np.asarray(
+                        img.resize((self.size[1], self.size[0]), Image.BILINEAR),
+                        dtype=np.float32,
+                    )
+                    / 255.0
+                )
+            rgbs.append(rgb)
+            depths.append(
+                load_nyu_depth(os.path.join(self.data_path, d_rel), self.size)
+            )
+        depth = np.stack(depths)[..., None]
+        mask = ((depth > 0.0) & (depth < self.max_depth)).astype(np.float32)
+        return {
+            "rgb": np.stack(rgbs),
+            "depth": np.clip(depth, 0.0, self.max_depth),
+            "mask": mask,
+        }
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from gdn_tpu.data.batching import iter_batch_indices
+
         order = np.arange(len(self.entries))
         while True:
             if self.shuffle:
                 self._rng.shuffle(order)
-            for s in range(0, len(order) - self.batch_size + 1, self.batch_size):
-                idx = order[s : s + self.batch_size]
-                rgbs, depths = [], []
-                for i in idx:
-                    rgb_rel, d_rel = self.entries[i][:2]
-                    rgb = load_rgb(os.path.join(self.data_path, rgb_rel))
-                    rgb = center_crop_nyu(rgb)
-                    if rgb.shape[:2] != self.size:
-                        img = Image.fromarray((rgb * 255).astype(np.uint8))
-                        rgb = (
-                            np.asarray(
-                                img.resize((self.size[1], self.size[0]), Image.BILINEAR),
-                                dtype=np.float32,
-                            )
-                            / 255.0
-                        )
-                    rgbs.append(rgb)
-                    depths.append(
-                        load_nyu_depth(os.path.join(self.data_path, d_rel), self.size)
-                    )
-                depth = np.stack(depths)[..., None]
-                mask = ((depth > 0.0) & (depth < self.max_depth)).astype(np.float32)
-                yield {
-                    "rgb": np.stack(rgbs),
-                    "depth": np.clip(depth, 0.0, self.max_depth),
-                    "mask": mask,
-                }
+            for idx, n_pad in iter_batch_indices(
+                order, self.batch_size, self.loop
+            ):
+                batch = self._make_batch(idx)
+                if n_pad:
+                    batch["mask"][-n_pad:] = 0.0
+                yield batch
             if not self.loop:
                 break
 

@@ -38,7 +38,12 @@ def make_eval_step(
         gt_, pred_, range_mask = M.apply_cap(
             gt2, pred, cfg.model.min_depth, cfg.eval.cap
         )
-        return M.compute_errors(gt_, pred_, range_mask & crop)
+        mask = range_mask & crop
+        if cfg.eval.median_scaling:
+            pred_ = M.median_scale(
+                pred_, gt_, mask, cfg.model.min_depth, cfg.eval.cap
+            )
+        return M.compute_errors(gt_, pred_, mask)
 
     @jax.jit
     def step(params, rgb, gt):

@@ -129,6 +129,34 @@ def crop_mask(
     return m
 
 
+def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median of ``x`` over ``mask`` pixels, static-shaped (jittable).
+
+    Invalid pixels are pushed to +inf before sorting; even counts take
+    the lower-middle element (matches the reference's numpy-median-free
+    protocol closely enough that tests pin it).
+    """
+    flat = jnp.where(mask.reshape(-1), x.reshape(-1), jnp.inf)
+    order = jnp.sort(flat)
+    count = jnp.sum(mask)
+    idx = jnp.maximum(count - 1, 0) // 2
+    return order[idx]
+
+
+def median_scale(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    mask: jnp.ndarray,
+    min_depth: float,
+    cap: float,
+) -> jnp.ndarray:
+    """Median-scaling protocol: rescale pred so masked medians match."""
+    scale = masked_median(gt, mask) / jnp.maximum(
+        masked_median(pred, mask), 1e-8
+    )
+    return jnp.clip(pred * scale, min_depth, cap)
+
+
 def evaluate_prediction(
     gt: jnp.ndarray,
     pred: jnp.ndarray,
@@ -148,16 +176,7 @@ def evaluate_prediction(
     gt_, pred_, range_mask = apply_cap(gt, pred, min_depth, cap)
     mask = range_mask & cmask
     if median_scaling:
-        # Masked median via sorting with invalid pixels pushed to +inf.
-        def _masked_median(x):
-            flat = jnp.where(mask.reshape(-1), x.reshape(-1), jnp.inf)
-            order = jnp.sort(flat)
-            count = jnp.sum(mask)
-            idx = jnp.maximum(count - 1, 0) // 2
-            return order[idx]
-
-        scale = _masked_median(gt_) / jnp.maximum(_masked_median(pred_), 1e-8)
-        pred_ = jnp.clip(pred_ * scale, min_depth, cap)
+        pred_ = median_scale(pred_, gt_, mask, min_depth, cap)
     return compute_errors(gt_, pred_, mask)
 
 

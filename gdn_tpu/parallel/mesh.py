@@ -58,6 +58,9 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
         assert x.shape[0] % mesh.size == 0, (
             f"global batch {x.shape[0]} not divisible by mesh size {mesh.size}"
         )
+        s = getattr(x, "sharding", None)
+        if s is not None and s.is_equivalent_to(sharding, x.ndim):
+            return x  # already placed by the prefetch pipeline
         return jax.device_put(x, sharding)
 
     return jax.tree.map(_put, batch)

@@ -20,7 +20,12 @@ from gdn_tpu.config import Config
 from gdn_tpu.models import DtoDNet, RtoDNet
 from gdn_tpu.parallel.mesh import create_mesh, shard_batch
 from gdn_tpu.train.state import create_state
-from gdn_tpu.train.steps import make_stage1_step, make_stage2_step
+from gdn_tpu.train.steps import (
+    make_stage1_multistep,
+    make_stage1_step,
+    make_stage2_multistep,
+    make_stage2_step,
+)
 from gdn_tpu.utils.logging import MetricLogger
 
 
@@ -34,12 +39,29 @@ def _epoch_loop(
     log_every: int,
     mesh=None,
     extra_args=(),
+    steps_per_call: int = 1,
 ):
+    """Drive `steps` optimizer updates.  With steps_per_call=K>1,
+    `step_fn` must be a multistep (scan) step taking batches stacked on
+    a leading axis; K host batches are pulled and stacked per call."""
+    import jax.numpy as jnp
+
+    if steps % steps_per_call != 0:
+        raise ValueError(
+            f"steps_per_epoch={steps} not divisible by "
+            f"steps_per_call={steps_per_call}"
+        )
+    n_calls = steps // steps_per_call
+    log_calls = max(1, log_every // steps_per_call)
     t_start = time.perf_counter()
     timed_from = 0
-    for i in range(steps):
-        batch = next(data_iter)
-        if mesh is not None:
+    for i in range(n_calls):
+        if steps_per_call == 1:
+            batch = next(data_iter)
+        else:
+            group = [next(data_iter) for _ in range(steps_per_call)]
+            batch = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+        if mesh is not None and steps_per_call == 1:
             batch = shard_batch(batch, mesh)
         state, terms = step_fn(state, *extra_args, batch)
         if i == 0:
@@ -48,10 +70,12 @@ def _epoch_loop(
             jax.tree.map(float, jax.device_get(terms))
             t_start = time.perf_counter()
             timed_from = 1
-        if (i + 1) % log_every == 0 or i == steps - 1:
+        if (i + 1) % log_calls == 0 or i == n_calls - 1:
             terms = jax.tree.map(float, jax.device_get(terms))
             elapsed = max(time.perf_counter() - t_start, 1e-9)
-            imgs_per_sec = batch_size * (i + 1 - timed_from) / elapsed
+            imgs_per_sec = (
+                batch_size * steps_per_call * (i + 1 - timed_from) / elapsed
+            )
             logger.log(
                 step=int(state.step), imgs_per_sec=imgs_per_sec, **terms
             )
@@ -101,16 +125,27 @@ def train_stage1(
     logger: Optional[MetricLogger] = None,
     val_iter: Optional[Iterable[Dict[str, Any]]] = None,
     val_steps: int = 10,
+    mesh=None,
 ):
-    """D-net pretraining.  Returns the final TrainState."""
+    """D-net pretraining.  Returns the final TrainState.
+
+    Pass ``mesh`` when the input pipeline already shards batches onto it
+    (scripts/train.py does) — the in-loop shard_batch is then a no-op
+    placement check, not a second transfer.
+    """
     h, w = cfg.model.image_size
-    mesh = create_mesh(cfg.mesh.num_devices) if use_mesh else None
+    if mesh is None:
+        mesh = create_mesh(cfg.mesh.num_devices) if use_mesh else None
     model = DtoDNet(cfg=cfg.model)
     if state is None:
         state = create_state(
             model, (1, h, w, 1), cfg.train, cfg.train.steps_per_epoch
         )
-    step_fn = make_stage1_step(cfg, mesh)
+    k = cfg.train.steps_per_call
+    step_fn = (
+        make_stage1_multistep(cfg, k, mesh) if k > 1
+        else make_stage1_step(cfg, mesh)
+    )
     if cfg.train.check_numerics:
         from gdn_tpu.utils.guards import GuardedStep
 
@@ -121,6 +156,7 @@ def train_stage1(
         state = _epoch_loop(
             step_fn, state, data_iter, cfg.train.steps_per_epoch, logger,
             cfg.data.batch_size, cfg.train.log_every, mesh,
+            steps_per_call=cfg.train.steps_per_call,
         )
         if val_iter is not None:
             _validate(cfg, state, iter(val_iter), val_steps, logger)
@@ -142,11 +178,13 @@ def train_stage2(
     logger: Optional[MetricLogger] = None,
     val_iter: Optional[Iterable[Dict[str, Any]]] = None,
     val_steps: int = 10,
+    mesh=None,
 ):
     """Guided G-net training: transfer + freeze the stage-1 decoder,
     train with guidance targets from the frozen D-net."""
     h, w = cfg.model.image_size
-    mesh = create_mesh(cfg.mesh.num_devices) if use_mesh else None
+    if mesh is None:
+        mesh = create_mesh(cfg.mesh.num_devices) if use_mesh else None
     model = RtoDNet(cfg=cfg.model)
     if state is None:
         state = create_state(
@@ -155,7 +193,11 @@ def train_stage2(
         )
         transferred = ckpt.transfer_stage1_decoder(state.params, d_params)
         state = state.replace(params=transferred)
-    step_fn = make_stage2_step(cfg, mesh)
+    k = cfg.train.steps_per_call
+    step_fn = (
+        make_stage2_multistep(cfg, k, mesh) if k > 1
+        else make_stage2_step(cfg, mesh)
+    )
     if cfg.train.check_numerics:
         from gdn_tpu.utils.guards import GuardedStep
 
@@ -167,6 +209,7 @@ def train_stage2(
             step_fn, state, data_iter, cfg.train.steps_per_epoch, logger,
             cfg.data.batch_size, cfg.train.log_every, mesh,
             extra_args=(d_params,),
+            steps_per_call=cfg.train.steps_per_call,
         )
         if val_iter is not None:
             _validate(cfg, state, iter(val_iter), val_steps, logger,

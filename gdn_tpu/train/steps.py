@@ -104,6 +104,29 @@ def make_stage2_step(
     )
 
 
+def make_stage1_multistep(
+    cfg: Config, steps_per_call: int, mesh: Optional[Mesh] = None
+):
+    """Stage-1 step scanning `steps_per_call` optimizer updates inside
+    ONE jitted call (see make_stage2_multistep for the rationale).
+
+    Signature: step(state, batches) with batches stacked {k: (S,B,...)}.
+    """
+
+    def step(state: TrainState, batches: Batch):
+        def body(carry, batch):
+            state = carry
+            grad_fn = jax.value_and_grad(_stage1_loss, has_aux=True)
+            (_, terms), grads = grad_fn(state.params, state.apply_fn, batch, cfg)
+            return state.apply_gradients(grads=grads), terms
+
+        state, terms = jax.lax.scan(body, state, batches)
+        last = jax.tree.map(lambda t: t[-1], terms)
+        return state, last
+
+    return _jit_multistep(step, mesh, n_extra=0)
+
+
 def make_stage2_multistep(
     cfg: Config, steps_per_call: int, mesh: Optional[Mesh] = None
 ):
@@ -133,6 +156,10 @@ def make_stage2_multistep(
         last = jax.tree.map(lambda t: t[-1], terms)
         return state, last
 
+    return _jit_multistep(step, mesh, n_extra=1)
+
+
+def _jit_multistep(step, mesh: Optional[Mesh], n_extra: int):
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
     rep = replicated(mesh)
@@ -142,7 +169,7 @@ def make_stage2_multistep(
     data = NamedSharding(mesh, P(None, "data"))
     return jax.jit(
         step,
-        in_shardings=(rep, rep, data),
+        in_shardings=(rep, *([rep] * n_extra), data),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )

@@ -39,9 +39,15 @@ def main():
     from gdn_tpu.utils.logging import MetricLogger
 
     print(f"devices: {jax.devices()}")
+    from gdn_tpu.parallel.mesh import create_mesh
+
+    # One mesh for pipeline + trainer: prefetch device_puts each batch
+    # sharded over all chips exactly once (no device-0 funnel), and the
+    # jitted augmentation then runs sharded too.
+    mesh = create_mesh(cfg.mesh.num_devices)
     loader = make_loader(cfg, "train")
     augment = cfg.data.dataset != "synthetic"
-    pipeline = make_train_pipeline(cfg, loader, mesh=None, augment=augment)
+    pipeline = make_train_pipeline(cfg, loader, mesh=mesh, augment=augment)
     logger = MetricLogger(
         prefix=f"stage{'1' if args.mode == 'DtoD' else '2'}",
         jsonl_path=os.path.join(cfg.train.ckpt_dir, "train_log.jsonl")
@@ -75,7 +81,10 @@ def main():
                 f"{cfg.train.ckpt_dir}/stage1", state
             )
             print(f"resumed stage 1 at step {int(state.step)}")
-        state = train_stage1(cfg, pipeline, state=state, logger=logger, val_iter=val_iter)
+        state = train_stage1(
+            cfg, pipeline, state=state, logger=logger, val_iter=val_iter,
+            mesh=mesh,
+        )
         print(f"stage 1 finished at step {int(state.step)}")
     else:
         stage1_dir = args.stage1_ckpt or f"{cfg.train.ckpt_dir}/stage1"
@@ -100,7 +109,7 @@ def main():
             print(f"resumed stage 2 at step {int(state.step)}")
         state = train_stage2(
             cfg, pipeline, d_params, state=state, logger=logger,
-            val_iter=val_iter,
+            val_iter=val_iter, mesh=mesh,
         )
         print(f"stage 2 finished at step {int(state.step)}")
 

@@ -87,3 +87,21 @@ def test_multihost_helpers_single_process():
     assert local_batch_slice(32) == (0, 32)
     s, e = local_batch_slice(8)
     assert e - s == 8 and s == 0
+
+
+def test_local_batch_slice_multiprocess_math(monkeypatch):
+    """Simulated 4-process topology: contiguous, disjoint, covering
+    slices; non-divisible global batch rejected (VERDICT r1 weak #8)."""
+    import jax
+    from gdn_tpu.parallel import multihost
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    slices = []
+    for pid in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        slices.append(multihost.local_batch_slice(32))
+    assert slices == [(0, 8), (8, 16), (16, 24), (24, 32)]
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    with pytest.raises(AssertionError, match="divide"):
+        multihost.local_batch_slice(30)
