@@ -61,6 +61,9 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                    help="(RtoD) stage-1 checkpoint dir; default "
                         "<model_dir>/stage1")
     p.add_argument("--no_freeze_decoder", action="store_true")
+    p.add_argument("--ssim_precision", choices=["default", "high", "highest"],
+                   default=None,
+                   help="MXU precision of the SSIM blurs (see LossConfig)")
     p.add_argument("--num_devices", type=int, default=0,
                    help="mesh size (0 = all devices)")
     p.add_argument("--log_every", type=int, default=50)
@@ -125,6 +128,8 @@ def build_config(args: argparse.Namespace) -> Config:
             "train.log_every": args.log_every,
             "mesh.num_devices": args.num_devices,
         })
+        if args.ssim_precision is not None:
+            over["loss.ssim_precision"] = args.ssim_precision
     if hasattr(args, "val_list"):
         over["data.val_list"] = args.val_list
         if args.cap is not None:

@@ -92,6 +92,11 @@ class LossConfig:
     # SSIM window (Gaussian, 11x11, sigma 1.5 — the standard protocol).
     ssim_window: int = 11
     ssim_sigma: float = 1.5
+    # MXU precision of the SSIM Gaussian blurs: "default" (1 bf16-
+    # mantissa pass), "high" (3), "highest" (6 ≈ full fp32).  Inputs are
+    # [0,1]-normalized so all modes are clamped/stable; see BASELINE.md
+    # for the measured speed/accuracy trade.
+    ssim_precision: str = "highest"
     # Gradient loss computed at this many pyramid scales (>=1).
     grad_scales: int = 4
     # Use the fused Pallas loss-reduction kernel when on TPU.

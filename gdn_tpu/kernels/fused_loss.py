@@ -36,24 +36,31 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gdn_tpu.ops.ssim import blur_matrix
+from gdn_tpu.ops.ssim import PRECISIONS as _JNP_PRECISIONS, blur_matrix
+
+# Mosaic's dot lowering implements DEFAULT (1 bf16-mantissa MXU pass)
+# and HIGHEST (6 passes ≈ fp32) but NOT HIGH — map "high" up to HIGHEST
+# inside kernels (the jnp path in ops/ssim.py still honors true HIGH).
+PRECISIONS = dict(_JNP_PRECISIONS, high=_JNP_PRECISIONS["highest"])
 
 # Output column layout of the forward kernel.
 _L1, _NM, _GX, _NGX, _GY, _NGY, _SSIM, _NPIX = range(8)
 _NOUT = 8
 
 
-def _ssim_stats(p, g, my, mx, c1, c2):
+def _ssim_stats(p, g, my, mx, c1, c2, prec):
     """Blurred moments + SSIM map pieces; all (H, W) fp32, MXU matmuls."""
 
     def blur(x):
-        # HIGHEST precision: default bf16-mantissa MXU passes made the
-        # variance cancellation below carry errors > c2 at metric-depth
-        # scales (denominator sign flips -> NaN training); see ops/ssim.
+        # prec: see ops/ssim._blur — inputs are normalized to [0,1] here
+        # so variance-cancellation error is bounded by the clamps/c2
+        # rather than scaling with (metric depth)^2; the precision knob
+        # trades residual SSIM error against MXU passes (bf16 mantissa
+        # x1/x3/x6 for DEFAULT/HIGH/HIGHEST).
         x = jnp.dot(my, x, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=prec)
         return jnp.dot(x, mx, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=prec)
 
     mu_x = blur(p)
     mu_y = blur(g)
@@ -69,7 +76,7 @@ def _ssim_stats(p, g, my, mx, c1, c2):
 
 
 def _fwd_kernel(pred_ref, gt_ref, mask_ref, my_ref, mx_ref, out_ref,
-                *, c1, c2, inv_max):
+                *, c1, c2, inv_max, prec):
     # out_ref is the full (B, 8) array (small tiles are not legal TPU
     # blocks); each program writes its own row.
     b = pl.program_id(0)
@@ -101,14 +108,16 @@ def _fwd_kernel(pred_ref, gt_ref, mask_ref, my_ref, mx_ref, out_ref,
     # (metric depth)^2.
     my = my_ref[:].astype(jnp.float32)
     mx = mx_ref[:].astype(jnp.float32)
-    _, _, n1, n2, d1, d2 = _ssim_stats(p * inv_max, g * inv_max, my, mx, c1, c2)
+    _, _, n1, n2, d1, d2 = _ssim_stats(
+        p * inv_max, g * inv_max, my, mx, c1, c2, prec
+    )
     out_ref[b, _SSIM] = jnp.sum((n1 * n2) / (d1 * d2))
     out_ref[b, _NPIX] = jnp.float32(p.shape[0] * p.shape[1])
 
 
 def _bwd_kernel(
     pred_ref, gt_ref, mask_ref, my_ref, mx_ref, myt_ref, mxt_ref, ct_ref,
-    dpred_ref, *, c1, c2, inv_max,
+    dpred_ref, *, c1, c2, inv_max, prec,
 ):
     """dL/dpred for upstream cotangents ct = (ct_l1, ct_gx, ct_gy,
     ct_ssim) given per-image (already normalized by the caller)."""
@@ -148,7 +157,7 @@ def _bwd_kernel(
     # normalized space (see _fwd_kernel); d/d(raw pred) = inv_max * d/d(pn)
     pn = p * inv_max
     gn_ = g * inv_max
-    mu_x, mu_y, n1, n2, d1, d2 = _ssim_stats(pn, gn_, my, mx, c1, c2)
+    mu_x, mu_y, n1, n2, d1, d2 = _ssim_stats(pn, gn_, my, mx, c1, c2, prec)
     s = (n1 * n2) / (d1 * d2)
     a1 = 2.0 * mu_y * n2 / (d1 * d2) - s * 2.0 * mu_x / d1  # dS/dmu_x
     a3 = -s / d2                                            # dS/dsxx
@@ -156,9 +165,9 @@ def _bwd_kernel(
 
     def blur_t(x):
         x = jnp.dot(myt, x, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=prec)
         return jnp.dot(x, mxt, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=prec)
 
     # dL/dpn = ct*[ W^T(a1 - 2 mu a3 - mu_y a5) + 2 pn W^T(a3) + gn W^T(a5) ];
     # chain rule back to raw pred multiplies by inv_max.
@@ -170,9 +179,11 @@ def _bwd_kernel(
     dpred_ref[0] = grad
 
 
-def _call_fwd(pred, gt, mask, my, mx, c1, c2, inv_max, interpret):
+def _call_fwd(pred, gt, mask, my, mx, c1, c2, inv_max, interpret, prec):
     b, h, w = pred.shape
-    kernel = functools.partial(_fwd_kernel, c1=c1, c2=c2, inv_max=inv_max)
+    kernel = functools.partial(
+        _fwd_kernel, c1=c1, c2=c2, inv_max=inv_max, prec=PRECISIONS[prec]
+    )
     return pl.pallas_call(
         kernel,
         grid=(b,),
@@ -198,9 +209,13 @@ def _call_fwd(pred, gt, mask, my, mx, c1, c2, inv_max, interpret):
     )(pred, gt, mask, my, mx)
 
 
-def _call_bwd(pred, gt, mask, my, mx, myt, mxt, cts, c1, c2, inv_max, interpret):
+def _call_bwd(
+    pred, gt, mask, my, mx, myt, mxt, cts, c1, c2, inv_max, interpret, prec
+):
     b, h, w = pred.shape
-    kernel = functools.partial(_bwd_kernel, c1=c1, c2=c2, inv_max=inv_max)
+    kernel = functools.partial(
+        _bwd_kernel, c1=c1, c2=c2, inv_max=inv_max, prec=PRECISIONS[prec]
+    )
     img = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -231,13 +246,15 @@ def _blur_mats(h: int, w: int, window: int, sigma: float):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8)
 )
 def _fused_terms(
-    pred, gt, mask, max_val, window, sigma, interpret, hw
+    pred, gt, mask, max_val, window, sigma, interpret, hw, prec
 ):
     """Returns normalized loss terms (recon, grad_x+grad_y, ssim_mean)."""
-    sums = _fused_terms_fwd(pred, gt, mask, max_val, window, sigma, interpret, hw)[0]
+    sums = _fused_terms_fwd(
+        pred, gt, mask, max_val, window, sigma, interpret, hw, prec
+    )[0]
     return sums
 
 
@@ -252,20 +269,26 @@ def _normalize(raw):
     return recon, grad, ssim_mean
 
 
-def _fused_terms_fwd(pred, gt, mask, max_val, window, sigma, interpret, hw):
+def _fused_terms_fwd(
+    pred, gt, mask, max_val, window, sigma, interpret, hw, prec
+):
     h, w = hw
     my, mx, myt, mxt = _blur_mats(h, w, window, sigma)
     # SSIM runs on in-kernel-normalized inputs -> constants at L=1
     c1 = 0.01 ** 2
     c2 = 0.03 ** 2
-    raw = _call_fwd(pred, gt, mask, my, mx, c1, c2, 1.0 / max_val, interpret)
+    raw = _call_fwd(
+        pred, gt, mask, my, mx, c1, c2, 1.0 / max_val, interpret, prec
+    )
     recon, grad, ssim_mean = _normalize(raw)
     out = jnp.stack([recon, grad, ssim_mean])
     residuals = (pred, gt, mask, raw)
     return out, residuals
 
 
-def _fused_terms_bwd(max_val, window, sigma, interpret, hw, residuals, ct):
+def _fused_terms_bwd(
+    max_val, window, sigma, interpret, hw, prec, residuals, ct
+):
     pred, gt, mask, raw = residuals
     h, w = hw
     b = pred.shape[0]
@@ -282,7 +305,8 @@ def _fused_terms_bwd(max_val, window, sigma, interpret, hw, residuals, ct):
         jnp.stack([ct_l1, ct_gx, ct_gy, ct_ssim])[None, :], (b, 4)
     ).astype(jnp.float32)
     dpred = _call_bwd(
-        pred, gt, mask, my, mx, myt, mxt, cts, c1, c2, 1.0 / max_val, interpret
+        pred, gt, mask, my, mx, myt, mxt, cts, c1, c2, 1.0 / max_val,
+        interpret, prec,
     )
     return dpred, None, None
 
@@ -298,6 +322,7 @@ def fused_loss_terms(
     window: int = 11,
     sigma: float = 1.5,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> Dict[str, jnp.ndarray]:
     """Fused (recon, grad-scale-0, ssim) losses from one kernel pass.
 
@@ -313,7 +338,7 @@ def fused_loss_terms(
     mask = mask.astype(jnp.float32)
     hw = (pred.shape[1], pred.shape[2])
     out = _fused_terms(pred, gt, mask, float(max_val), int(window),
-                       float(sigma), bool(interpret), hw)
+                       float(sigma), bool(interpret), hw, str(precision))
     return {
         "recon": out[0],
         "grad0": out[1],

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv3x3_into(src_ref, w_ref, acc_ref, h, w):
+def _conv3x3_into(src_ref, w_ref, acc_ref, h, w, tap_dtype=jnp.float32):
     """Accumulate a SAME-padded 3x3 conv of src_ref (H, W, Cin) into
     acc_ref (H, W, Cout) via 9 shifted MXU matmuls.
 
@@ -38,16 +38,20 @@ def _conv3x3_into(src_ref, w_ref, acc_ref, h, w):
     value-level dynamic_slice is unimplemented, and a fully value-based
     unroll made Mosaic keep all nine shifted patches live (51 MB scoped
     VMEM at decoder shapes).  Out-of-image taps simply shrink the
-    accumulated region, which is exactly zero padding."""
+    accumulated region, which is exactly zero padding.
+
+    tap_dtype=bfloat16 runs each tap as a single-pass bf16 MXU matmul
+    (fp32 accumulate) — 3x fewer MXU passes than fp32 inputs, matching
+    the bf16 compute dtype of the surrounding flax model."""
     for dy in range(3):
         for dx in range(3):
             sy0, sy1 = max(0, dy - 1), h + min(0, dy - 1)
             sx0, sx1 = max(0, dx - 1), w + min(0, dx - 1)
             oy0, oy1 = max(0, 1 - dy), h + min(0, 1 - dy)
             ox0, ox1 = max(0, 1 - dx), w + min(0, 1 - dx)
-            src = src_ref[sy0:sy1, sx0:sx1, :].astype(jnp.float32)
+            src = src_ref[sy0:sy1, sx0:sx1, :].astype(tap_dtype)
             contrib = jax.lax.dot_general(
-                src, w_ref[dy, dx].astype(jnp.float32),
+                src, w_ref[dy, dx].astype(tap_dtype),
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -96,12 +100,12 @@ def pad_lanes(x, axis: int, mult: int = 128):
 
 def _fusion_kernel(
     x_ref, lat_ref, wx_ref, wl_ref, scale_ref, bias_ref, out_ref, acc_ref,
-    *, groups, eps, real_cout,
+    *, groups, eps, real_cout, tap_dtype,
 ):
     h, w = x_ref.shape[1], x_ref.shape[2]
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    _conv3x3_into(x_ref.at[0], wx_ref, acc_ref, h, w)
-    _conv3x3_into(lat_ref.at[0], wl_ref, acc_ref, h, w)
+    _conv3x3_into(x_ref.at[0], wx_ref, acc_ref, h, w, tap_dtype)
+    _conv3x3_into(lat_ref.at[0], wl_ref, acc_ref, h, w, tap_dtype)
     out_ref[0] = _groupnorm_elu(
         acc_ref[...], scale_ref[0].astype(jnp.float32),
         bias_ref[0].astype(jnp.float32), groups, eps, real_cout,
@@ -127,10 +131,10 @@ def _reference(x, lat, wx, wl, scale, bias, groups, eps):
     return jnp.where(yn > 0, yn, jnp.expm1(yn))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def fused_fusion_block(
     x, lat, wx, wl, scale, bias, groups: int = 8, eps: float = 1e-6,
-    interpret: bool = False,
+    interpret: bool = False, tap_dtype: str = "float32",
 ):
     """Fused concat+conv3x3+GroupNorm+ELU.
 
@@ -155,7 +159,8 @@ def fused_fusion_block(
     biasp = pad_lanes(bias.reshape(1, -1), 1)
     cxp, clp, coutp = xp.shape[-1], latp.shape[-1], wxp.shape[-1]
     kernel = functools.partial(
-        _fusion_kernel, groups=groups, eps=eps, real_cout=cout
+        _fusion_kernel, groups=groups, eps=eps, real_cout=cout,
+        tap_dtype=jnp.bfloat16 if tap_dtype == "bfloat16" else jnp.float32,
     )
     img = lambda c: pl.BlockSpec(
         (1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
@@ -187,12 +192,14 @@ def fused_fusion_block(
     return out[..., :cout]
 
 
-def _ffb_fwd(x, lat, wx, wl, scale, bias, groups, eps, interpret):
-    out = fused_fusion_block(x, lat, wx, wl, scale, bias, groups, eps, interpret)
+def _ffb_fwd(x, lat, wx, wl, scale, bias, groups, eps, interpret, tap_dtype):
+    out = fused_fusion_block(
+        x, lat, wx, wl, scale, bias, groups, eps, interpret, tap_dtype
+    )
     return out, (x, lat, wx, wl, scale, bias)
 
 
-def _ffb_bwd(groups, eps, interpret, residuals, g):
+def _ffb_bwd(groups, eps, interpret, tap_dtype, residuals, g):
     x, lat, wx, wl, scale, bias = residuals
     _, vjp = jax.vjp(
         lambda *args: _reference(*args, groups, eps), x, lat, wx, wl, scale, bias

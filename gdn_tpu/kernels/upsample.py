@@ -67,12 +67,12 @@ def _upsample2x_clamp(x):
 
 def _upsample_kernel(
     x_ref, w_ref, scale_ref, bias_ref, out_ref, u_ref, acc_ref,
-    *, groups, eps, real_cout,
+    *, groups, eps, real_cout, tap_dtype,
 ):
     h, w = x_ref.shape[1], x_ref.shape[2]
     u_ref[...] = _upsample2x_clamp(x_ref[0].astype(jnp.float32))
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    _conv3x3_into(u_ref, w_ref, acc_ref, 2 * h, 2 * w)
+    _conv3x3_into(u_ref, w_ref, acc_ref, 2 * h, 2 * w, tap_dtype)
     out_ref[0] = _groupnorm_elu(
         acc_ref[...], scale_ref[0].astype(jnp.float32),
         bias_ref[0].astype(jnp.float32), groups, eps, real_cout,
@@ -98,10 +98,10 @@ def _reference(x, w, scale, bias, groups, eps):
     return jnp.where(yn > 0, yn, jnp.expm1(yn))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fused_upsample_conv(
     x, w, scale, bias, groups: int = 8, eps: float = 1e-6,
-    interpret: bool = False,
+    interpret: bool = False, tap_dtype: str = "float32",
 ):
     """Fused bilinear-2x upsample + conv3x3 + GroupNorm + ELU.
 
@@ -117,7 +117,8 @@ def fused_upsample_conv(
     biasp = pad_lanes(bias.reshape(1, -1), 1)
     cinp, coutp = xp.shape[-1], wp.shape[-1]
     kernel = functools.partial(
-        _upsample_kernel, groups=groups, eps=eps, real_cout=cout
+        _upsample_kernel, groups=groups, eps=eps, real_cout=cout,
+        tap_dtype=jnp.bfloat16 if tap_dtype == "bfloat16" else jnp.float32,
     )
     out = pl.pallas_call(
         kernel,
@@ -149,12 +150,14 @@ def fused_upsample_conv(
     return out[..., :cout]
 
 
-def _fuc_fwd(x, w, scale, bias, groups, eps, interpret):
-    out = fused_upsample_conv(x, w, scale, bias, groups, eps, interpret)
+def _fuc_fwd(x, w, scale, bias, groups, eps, interpret, tap_dtype):
+    out = fused_upsample_conv(
+        x, w, scale, bias, groups, eps, interpret, tap_dtype
+    )
     return out, (x, w, scale, bias)
 
 
-def _fuc_bwd(groups, eps, interpret, residuals, g):
+def _fuc_bwd(groups, eps, interpret, tap_dtype, residuals, g):
     x, w, scale, bias = residuals
     _, vjp = jax.vjp(
         lambda *args: _reference(*args, groups, eps), x, w, scale, bias

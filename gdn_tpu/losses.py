@@ -101,11 +101,16 @@ def ssim_loss(
     max_depth: float,
     window: int = 11,
     sigma: float = 1.5,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """(1 - SSIM)/2 on depth normalized by max_depth."""
     p = _squeeze(pred).astype(jnp.float32) / max_depth
     g = _squeeze(gt).astype(jnp.float32) / max_depth
-    return (1.0 - ssim(p, g, max_val=1.0, window=window, sigma=sigma)) / 2.0
+    return (
+        1.0
+        - ssim(p, g, max_val=1.0, window=window, sigma=sigma,
+               precision=precision)
+    ) / 2.0
 
 
 def latent_loss(
@@ -145,7 +150,8 @@ def total_loss(
         from gdn_tpu.kernels.fused_loss import fused_loss_terms
 
         fused = fused_loss_terms(
-            pred, gt, mask, max_depth, cfg.ssim_window, cfg.ssim_sigma
+            pred, gt, mask, max_depth, cfg.ssim_window, cfg.ssim_sigma,
+            precision=cfg.ssim_precision,
         )
         p3 = _squeeze(pred).astype(jnp.float32)
         g3 = _squeeze(gt).astype(jnp.float32)
@@ -162,7 +168,10 @@ def total_loss(
         terms = {
             "recon": masked_l1(pred, gt, mask),
             "grad": gradient_loss(pred, gt, mask, cfg.grad_scales),
-            "ssim": ssim_loss(pred, gt, max_depth, cfg.ssim_window, cfg.ssim_sigma),
+            "ssim": ssim_loss(
+                pred, gt, max_depth, cfg.ssim_window, cfg.ssim_sigma,
+                precision=cfg.ssim_precision,
+            ),
         }
     total = (
         cfg.w_recon * terms["recon"]

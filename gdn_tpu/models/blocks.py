@@ -159,7 +159,8 @@ class FusionBlock(nn.Module):
             out = fused_fusion_block(
                 x.astype(jnp.float32), lateral.astype(jnp.float32),
                 kernel[:, :, :cx, :], kernel[:, :, cx:, :],
-                scale, bias, groups,
+                scale, bias, groups, 1e-6, False,
+                c.dtype,  # bf16 taps when the model computes in bf16
             )
             return out.astype(c.compute_dtype)
 
@@ -221,7 +222,8 @@ class UpBlock(nn.Module):
                 from gdn_tpu.kernels.upsample import fused_upsample_conv
 
                 x = fused_upsample_conv(
-                    x.astype(jnp.float32), kernel, scale, bias, groups
+                    x.astype(jnp.float32), kernel, scale, bias, groups,
+                    1e-6, False, c.dtype,
                 ).astype(c.compute_dtype)
             else:
                 # precise=False keeps the feature resize in bf16.

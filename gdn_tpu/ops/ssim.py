@@ -55,19 +55,30 @@ def gaussian_window(window: int = 11, sigma: float = 1.5) -> np.ndarray:
     return np.outer(g, g)
 
 
-def _blur(x: jnp.ndarray, my: jnp.ndarray, mx: jnp.ndarray) -> jnp.ndarray:
+PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _blur(
+    x: jnp.ndarray, my: jnp.ndarray, mx: jnp.ndarray, precision
+) -> jnp.ndarray:
     """Separable Gaussian blur of (B, H, W) via two MXU matmuls.
 
-    precision=HIGHEST: TPU fp32 matmuls default to bf16 mantissa passes;
-    the later variance cancellation (E[x^2] - mu^2) then carries absolute
-    errors larger than SSIM's c2 stabilizer, which flipped denominators
-    negative and NaN'd training at metric-depth scales.
+    precision: TPU fp32 matmuls default to bf16-mantissa passes; the
+    later variance cancellation (E[x^2] - mu^2) then carries absolute
+    errors comparable to SSIM's c2 stabilizer at metric-depth scales
+    (which flipped denominators negative and NaN'd training before the
+    [0,1] normalization + clamps landed).  The caller picks the
+    speed/accuracy point; losses.py exposes it as LossConfig.ssim_precision.
     """
     # (B,H,W): blur rows: my @ x  -> einsum over H; blur cols: x @ mx^T.
     x = jnp.einsum("hk,bkw->bhw", my, x, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=precision)
     x = jnp.einsum("bhk,wk->bhw", x, mx, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=precision)
     return x
 
 
@@ -78,6 +89,7 @@ def ssim(
     window: int = 11,
     sigma: float = 1.5,
     mean: bool = True,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """SSIM between depth maps.
 
@@ -98,12 +110,13 @@ def ssim(
 
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
+    prec = PRECISIONS[precision]
 
-    mu_x = _blur(pred, my, mx)
-    mu_y = _blur(target, my, mx)
-    mu_xx = _blur(pred * pred, my, mx)
-    mu_yy = _blur(target * target, my, mx)
-    mu_xy = _blur(pred * target, my, mx)
+    mu_x = _blur(pred, my, mx, prec)
+    mu_y = _blur(target, my, mx, prec)
+    mu_xx = _blur(pred * pred, my, mx, prec)
+    mu_yy = _blur(target * target, my, mx, prec)
+    mu_xy = _blur(pred * target, my, mx, prec)
 
     # clamp: exact-math non-negative, but float cancellation can dip
     # below zero and destabilize the denominator

@@ -57,6 +57,19 @@ def test_eval_overrides():
     assert cfg.eval.median_scaling is True
 
 
+def test_steps_per_call_and_ssim_precision_flags():
+    cfg = build_config(_parse(["--steps_per_call", "4",
+                               "--ssim_precision", "default"]))
+    assert cfg.train.steps_per_call == 4
+    assert cfg.loss.ssim_precision == "default"
+    # unset: keep the LossConfig default
+    cfg2 = build_config(_parse([]))
+    assert cfg2.train.steps_per_call == 1
+    from gdn_tpu.config import LossConfig
+
+    assert cfg2.loss.ssim_precision == LossConfig().ssim_precision
+
+
 def test_no_pallas_flag():
     cfg = build_config(_parse(["--no_pallas"]))
     assert cfg.model.use_pallas is False

@@ -119,6 +119,21 @@ def test_fused_fusion_block_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
 
 
+def test_fused_fusion_block_bf16_taps(rng):
+    """bf16-tap variant (single-pass MXU matmuls, fp32 accumulate):
+    same math to bf16-mantissa tolerance on unit-scale data."""
+    from gdn_tpu.kernels.fusion_block import _reference, fused_fusion_block
+
+    x, lat, wx, wl, scale, bias = _fusion_data(rng)
+    out = fused_fusion_block(
+        x, lat, wx, wl, scale, bias, 4, 1e-6, True, "bfloat16"
+    )
+    ref = _reference(x, lat, wx, wl, scale, bias, 4, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0.08, atol=0.08
+    )
+
+
 def test_fused_fusion_block_gradients(rng):
     from gdn_tpu.kernels.fusion_block import _reference, fused_fusion_block
 
@@ -171,6 +186,20 @@ def test_fused_upsample_conv_matches_reference(rng):
     ref = up_ref(x, w, scale, bias, 4, 1e-6)
     assert out.shape == (2, 16, 24, 8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_upsample_conv_bf16_taps(rng):
+    from gdn_tpu.kernels.upsample import _reference as up_ref, fused_upsample_conv
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 8)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(3, 3, 8, 8)) * 0.1).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, size=(8,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    out = fused_upsample_conv(x, w, scale, bias, 4, 1e-6, True, "bfloat16")
+    ref = up_ref(x, w, scale, bias, 4, 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0.08, atol=0.08
+    )
 
 
 def test_fused_upsample_conv_gradients(rng):
