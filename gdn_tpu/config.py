@@ -41,6 +41,11 @@ class ModelConfig:
     # friendly (no cross-device sync needed, unlike BatchNorm).
     norm: str = "group"
     group_norm_groups: int = 8
+    # GroupNorm statistics formulation (ops/groupnorm.py): "grouped"
+    # (reshape to (B,HW,G,C/G), reduce axes (1,3)) or "chanreduce"
+    # (single contiguous HW reduce + one-hot group matmul).  The GN
+    # chains are the profiled per-step hot spot (BASELINE.md).
+    gn_impl: str = "grouped"
     # Activation inside conv blocks. ELU is standard in depth nets.
     activation: str = "elu"
     # Upsampling style: "resize_conv" (bilinear resize + conv; avoids the
@@ -62,6 +67,11 @@ class ModelConfig:
     # 128-lane padding tax; see BASELINE.md) — default off, kept as a
     # capability with equivalence tests.
     use_pallas_fusion: bool = False
+    # Fused GroupNorm+ELU kernel (kernels/groupnorm.py): one op per
+    # layer instead of XLA's 3-4 latency-bound fusions — built against
+    # the round-2 profile; default off until TPU-measured (CLAUDE.md
+    # gating policy).
+    use_pallas_gn: bool = False
 
     @property
     def num_scales(self) -> int:

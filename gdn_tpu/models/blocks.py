@@ -35,26 +35,27 @@ def activation_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
 
 
 def _group_norm_act(y, scale, bias, groups, cfg: ModelConfig):
-    """GroupNorm + activation with bandwidth-lean dtypes: statistics
-    accumulate in float32 (tiny (B, G) tensors), all full-resolution
-    elementwise math stays in the compute dtype.  The HBM-bound train
-    step spends its time in exactly these full-res chains."""
-    b, h, w, c = y.shape
-    cg = c // groups
-    yg = y.reshape(b, h * w, groups, cg)
-    mean = jnp.mean(yg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
-    ex2 = jnp.mean(
-        jnp.square(yg.astype(jnp.float32)), axis=(1, 3), keepdims=True,
-        dtype=jnp.float32,
+    """GroupNorm + activation (ops/groupnorm.py; formulation selected by
+    cfg.gn_impl — the GN statistic chains are the profiled per-step hot
+    spot, see BASELINE.md)."""
+    y = y.astype(cfg.compute_dtype)
+    if (
+        cfg.use_pallas
+        and cfg.use_pallas_gn
+        and cfg.activation == "elu"
+        and jax.default_backend() == "tpu"
+    ):
+        from gdn_tpu.kernels.groupnorm import fits_vmem, fused_group_norm_elu
+
+        b, h, w, c = y.shape
+        if fits_vmem(h, w, c, y.dtype.itemsize):
+            return fused_group_norm_elu(y, scale, bias, groups)
+    from gdn_tpu.ops.groupnorm import group_norm_act
+
+    return group_norm_act(
+        y, scale, bias, groups,
+        activation=activation_fn(cfg.activation), impl=cfg.gn_impl,
     )
-    # E[y^2]-mean^2 can go (slightly) negative by cancellation; a
-    # negative operand makes rsqrt NaN and poisons training (observed
-    # at full res ~step 150). Clamp before the rsqrt.
-    var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
-    inv = jax.lax.rsqrt(var + 1e-6)
-    yn = (yg - mean.astype(yg.dtype)) * inv.astype(yg.dtype)
-    yn = yn.reshape(b, h, w, c) * scale.astype(yg.dtype) + bias.astype(yg.dtype)
-    return activation_fn(cfg.activation)(yn.astype(cfg.compute_dtype))
 
 
 class ConvBlock(nn.Module):
@@ -77,14 +78,19 @@ class ConvBlock(nn.Module):
             param_dtype=jnp.float32,
         )(x)
         if self.cfg.norm == "group":
-            # dtype=compute_dtype keeps activations in bf16 end to end
-            # (the step is HBM-bound: fp32 GN outputs doubled the bytes);
-            # flax promotes the mean/var computation to fp32 internally.
-            x = nn.GroupNorm(
-                num_groups=min(self.cfg.group_norm_groups, self.features),
-                dtype=self.cfg.compute_dtype,
-                param_dtype=jnp.float32,
-            )(x)
+            # Own scale/bias + shared ops/groupnorm implementation (one
+            # GN code path repo-wide; stats fp32, elementwise stays in
+            # the compute dtype — the HBM-bound step's hot chain).
+            groups = min(self.cfg.group_norm_groups, self.features)
+            while self.features % groups:
+                groups -= 1
+            scale = self.param(
+                "gn_scale", nn.initializers.ones, (self.features,), jnp.float32
+            )
+            bias = self.param(
+                "gn_bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            return _group_norm_act(x, scale, bias, groups, self.cfg)
         return activation_fn(self.cfg.activation)(x)
 
 

@@ -1,0 +1,92 @@
+"""GroupNorm (+ fused activation) — the profiled hot spot of the nets.
+
+Round-2 profiling (BASELINE.md "Profile-backed decomposition") showed
+the G-net forward spends ~8-10 ms/step in GroupNorm statistic reduce
+fusions and ~3 ms in ELU selects, nearly independent of batch size —
+each XLA reduce fusion carries ~85 µs of latency, so the chains are
+op-latency-bound, not bandwidth-bound.  This module centralizes the GN
+math (previously duplicated between flax ``nn.GroupNorm`` in ConvBlock
+and ``_group_norm_act`` in models/blocks.py) and offers two XLA
+formulations selected by ``ModelConfig.gn_impl``:
+
+- ``grouped``  (default): reshape to (B, HW, G, C/G), reduce over axes
+  (1, 3) — the natural formulation, what flax does.
+- ``chanreduce``: reduce (B, HW, C) over the single contiguous HW axis
+  to (B, C) sums, then combine channels into groups with a tiny one-hot
+  (C, G) matmul.  Reductions over one major axis lower to cleaner TPU
+  reduce kernels than the strided (1, 3)-axis pair.
+
+Both are numerically equivalent (tests/test_ops.py) — statistics in
+float32, full-resolution elementwise math in the input dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _group_matrix(c: int, groups: int) -> np.ndarray:
+    """(C, G) one-hot channel→group matrix (fp32, trace-time constant)."""
+    return np.kron(np.eye(groups), np.ones((c // groups, 1))).astype(
+        np.float32
+    )
+
+
+def group_norm_act(
+    y: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    groups: int,
+    activation: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    impl: str = "grouped",
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """GroupNorm over (B, H, W, C) + optional fused activation.
+
+    Statistics accumulate in float32 (tiny (B, G) tensors); all
+    full-resolution elementwise math stays in ``y.dtype`` (the train
+    step is HBM-bound; fp32 intermediates would double the bytes).
+    E[y^2]-mean^2 is clamped >= 0: float cancellation can dip negative
+    and a negative operand makes rsqrt NaN (observed at full res ~step
+    150 in round 1).
+    """
+    b, h, w, c = y.shape
+    if impl == "chanreduce":
+        cg = c // groups
+        yf = y.reshape(b, h * w, c)
+        s1 = jnp.sum(yf, axis=1, dtype=jnp.float32)  # (B, C)
+        s2 = jnp.sum(jnp.square(yf.astype(jnp.float32)), axis=1)
+        gmat = jnp.asarray(_group_matrix(c, groups))
+        n = h * w * cg
+        mean_g = (s1 @ gmat) / n  # (B, G)
+        ex2_g = (s2 @ gmat) / n
+        var_g = jnp.maximum(ex2_g - jnp.square(mean_g), 0.0)
+        inv_g = jax.lax.rsqrt(var_g + eps)
+        mean_c = (mean_g @ gmat.T).astype(y.dtype)  # (B, C)
+        inv_c = (inv_g @ gmat.T).astype(y.dtype)
+        yn = (yf - mean_c[:, None, :]) * inv_c[:, None, :]
+        yn = yn.reshape(b, h, w, c)
+    elif impl == "grouped":
+        # Two-pass variance E[(y-mean)^2]: numerically stabler than the
+        # single-pass E[y^2]-mean^2 (no cancellation → no clamp needed),
+        # matching flax GroupNorm bit-behavior; costs one extra read of
+        # the tensor, which is why "chanreduce" (above) and the Pallas
+        # kernel use the single-pass form for speed.
+        cg = c // groups
+        yg = y.reshape(b, h * w, groups, cg)
+        mean = jnp.mean(yg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+        var = jnp.mean(
+            jnp.square(yg.astype(jnp.float32) - mean), axis=(1, 3),
+            keepdims=True, dtype=jnp.float32,
+        )
+        inv = jax.lax.rsqrt(var + eps)
+        yn = (yg - mean.astype(yg.dtype)) * inv.astype(yg.dtype)
+        yn = yn.reshape(b, h, w, c)
+    else:
+        raise ValueError(f"unknown gn_impl {impl!r}")
+    yn = yn * scale.astype(y.dtype) + bias.astype(y.dtype)
+    return activation(yn) if activation is not None else yn

@@ -216,6 +216,54 @@ def test_fused_upsample_conv_gradients(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_fused_group_norm_elu_matches_reference(rng):
+    from gdn_tpu.kernels.groupnorm import _reference, fused_group_norm_elu
+
+    x = jnp.asarray(rng.normal(size=(3, 10, 14, 16)).astype(np.float32) * 2 + 1)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, size=(16,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    out = fused_group_norm_elu(x, scale, bias, 4, 1e-6, True)
+    ref = _reference(x, scale, bias, 4, 1e-6)
+    assert out.dtype == x.dtype
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_group_norm_elu_bf16(rng):
+    from gdn_tpu.kernels.groupnorm import _reference, fused_group_norm_elu
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 8)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    scale = jnp.ones((8,), jnp.float32)
+    bias = jnp.zeros((8,), jnp.float32)
+    out = fused_group_norm_elu(x, scale, bias, 4, 1e-6, True)
+    ref = _reference(x, scale, bias, 4, 1e-6)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+
+def test_fused_group_norm_elu_gradients(rng):
+    from gdn_tpu.kernels.groupnorm import _reference, fused_group_norm_elu
+
+    x = jnp.asarray(rng.normal(size=(1, 6, 8, 8)).astype(np.float32))
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, size=(8,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+
+    gf = jax.grad(
+        lambda x, s, b: jnp.sum(fused_group_norm_elu(x, s, b, 2, 1e-6, True) ** 2),
+        argnums=(0, 1, 2),
+    )(x, scale, bias)
+    gr = jax.grad(
+        lambda x, s, b: jnp.sum(_reference(x, s, b, 2, 1e-6) ** 2),
+        argnums=(0, 1, 2),
+    )(x, scale, bias)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_fused_upsample_exactly_matches_resize_bilinear(rng):
     """The concat-shift upsample algebra inside the kernel must equal
     ops.resize.resize_bilinear at exactly 2x (clamp semantics)."""

@@ -66,3 +66,42 @@ def test_upsample2x_matches_resize_bilinear(rng):
     ours = np.asarray(upsample2x_bilinear(x))
     ref = np.asarray(resize_bilinear(x, (14, 18)))
     np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-5)
+
+
+def test_group_norm_impls_agree_and_match_torch(rng):
+    """ops/groupnorm: 'grouped' and 'chanreduce' formulations must agree
+    with each other and with torch.nn.functional.group_norm (fp32)."""
+    import jax.numpy as jnp
+    from gdn_tpu.ops.groupnorm import group_norm_act
+
+    b, h, w, c, g = 3, 10, 14, 16, 4
+    x = rng.normal(size=(b, h, w, c)).astype(np.float32) * 3 + 1
+    scale = rng.uniform(0.5, 1.5, size=(c,)).astype(np.float32)
+    bias = rng.normal(size=(c,)).astype(np.float32)
+
+    a = np.asarray(group_norm_act(jnp.asarray(x), jnp.asarray(scale),
+                                  jnp.asarray(bias), g, impl="grouped"))
+    bv = np.asarray(group_norm_act(jnp.asarray(x), jnp.asarray(scale),
+                                   jnp.asarray(bias), g, impl="chanreduce"))
+    np.testing.assert_allclose(a, bv, rtol=1e-4, atol=1e-5)
+
+    ref = F.group_norm(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), g,
+        torch.from_numpy(scale), torch.from_numpy(bias), eps=1e-6,
+    ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(a, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_group_norm_activation_fused(rng):
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from gdn_tpu.ops.groupnorm import group_norm_act
+
+    x = jnp.asarray(rng.normal(size=(2, 6, 8, 8)).astype(np.float32))
+    s = jnp.ones((8,), jnp.float32)
+    b = jnp.zeros((8,), jnp.float32)
+    plain = group_norm_act(x, s, b, 2, impl="chanreduce")
+    with_act = group_norm_act(x, s, b, 2, activation=nn.elu, impl="chanreduce")
+    np.testing.assert_allclose(
+        np.asarray(with_act), np.asarray(nn.elu(plain)), rtol=1e-6, atol=1e-6
+    )

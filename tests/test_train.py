@@ -270,6 +270,30 @@ def test_stage1_multistep_matches_sequential(d_state):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
 
 
+def test_train_loop_steps_per_call_on_mesh():
+    """steps_per_call>1 through train_stage1 with the 8-device mesh:
+    stacked batches of mesh-sharded arrays must reshard cleanly into
+    the P(None, 'data') multistep input."""
+    import dataclasses
+    from gdn_tpu.data.pipeline import make_train_pipeline
+    from gdn_tpu.parallel.mesh import create_mesh
+    from gdn_tpu.train.loop import train_stage1
+
+    cfg = dataclasses.replace(
+        TINY,
+        train=dataclasses.replace(TINY.train, steps_per_epoch=4, steps_per_call=2),
+    )
+    mesh = create_mesh(8)
+    pipe = make_train_pipeline(
+        cfg, SyntheticDataset(batch_size=8, height=32, width=64),
+        mesh=mesh, augment=False,
+    )
+    state = train_stage1(cfg, pipe, epochs=1, mesh=mesh)
+    assert int(state.step) == 4
+    assert all(np.all(np.isfinite(np.asarray(p)))
+               for p in jax.tree.leaves(state.params))
+
+
 def test_train_loop_steps_per_call():
     """train_stage1 with steps_per_call>1 advances the same step count
     and rejects non-divisible steps_per_epoch."""
