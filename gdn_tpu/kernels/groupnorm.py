@@ -9,10 +9,14 @@ per image computes both moments, combines channels into groups with a
 one-hot (C, G) MXU matmul (reshape-free — Mosaic cannot split/merge the
 lane dim), normalizes, applies the affine + ELU, and writes once.
 
-Layout: the caller reshapes (B, H, W, C) -> (B, H*W, C) (a leading-dim
-merge, Mosaic/XLA-safe) so each grid program owns one (HW, C) image:
-sublane reductions along HW are the efficient TPU axis, and C stays on
-the lanes untouched.
+Layout: the caller reshapes (B, H, W, C) -> (B, N, L) where L is the
+lane width (a leading-dim/row-major merge, done by XLA outside the
+kernel).  When C divides 128 the rows are PACKED: L = 128 so every
+lane is busy (C=16/32 narrow-lane blocks both waste the VPU and, at
+C=32, failed Mosaic compilation outright); lane position j then holds
+channel j % C, and the one-hot (L, G) group matrix is built per lane
+position, so the statistics are exactly the per-group sums regardless
+of packing.  For C >= 128 (multiples of 128) the natural L = C is used.
 
 Backward = jax.custom_vjp via the XLA reference implementation's VJP
 (same policy as kernels/fusion_block.py: the fused forward also serves
@@ -61,6 +65,18 @@ def _reference(x, scale, bias, groups, eps):
     )
 
 
+def _lane_layout(hw: int, c: int):
+    """(rows, lane) packing for one (HW, C) image: full 128 lanes when
+    C divides 128 and the element count allows; else the natural C."""
+    if c % 128 == 0:
+        return hw, c, 1
+    if 128 % c == 0:
+        pack = 128 // c
+        if hw % pack == 0:
+            return hw // pack, 128, pack
+    return hw, c, 1
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_group_norm_elu(
     x, scale, bias, groups: int = 8, eps: float = 1e-6,
@@ -76,33 +92,42 @@ def fused_group_norm_elu(
     b, h, w, c = x.shape
     assert c % groups == 0, (c, groups)
     hw = h * w
-    x2 = x.reshape(b, hw, c)  # leading-dim merge: Mosaic/XLA-safe
-    gmat = jnp.asarray(_group_matrix(c, groups))
+    rows, lane, pack = _lane_layout(hw, c)
+    # Row-major merges/splits only — XLA-side, never inside the kernel.
+    x2 = x.reshape(b, rows, lane)
+    cg = c // groups
+    # one-hot (lane, G): lane position j holds channel j % c
+    base = _group_matrix(c, groups)  # (C, G)
+    gmat = jnp.asarray(
+        base if pack == 1 else
+        jnp.tile(jnp.asarray(base), (pack, 1))
+    )
+    scale_l = jnp.tile(scale.astype(jnp.float32), pack).reshape(1, lane)
+    bias_l = jnp.tile(bias.astype(jnp.float32), pack).reshape(1, lane)
     kernel = functools.partial(
-        _gn_elu_kernel, eps=eps, n_per_group=float(hw * (c // groups))
+        _gn_elu_kernel, eps=eps, n_per_group=float(hw * cg)
     )
     out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, rows, lane), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, groups), lambda i: (0, 0),
+            pl.BlockSpec((lane, groups), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lane), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lane), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, rows, lane), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, rows, lane), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=b * hw * c * 12,
             bytes_accessed=b * hw * c * 2 * x.dtype.itemsize,
             transcendentals=b * hw * c,
         ),
-    )(x2, gmat, scale.reshape(1, c).astype(jnp.float32),
-      bias.reshape(1, c).astype(jnp.float32))
+    )(x2, gmat, scale_l, bias_l)
     return out.reshape(b, h, w, c)
 
 

@@ -245,6 +245,24 @@ def test_fused_group_norm_elu_bf16(rng):
     )
 
 
+def test_fused_group_norm_elu_packed_lanes(rng):
+    """C=32 divides 128 -> the kernel packs 4 rows per 128-lane tile
+    (the unpacked C=32 form failed Mosaic TPU compilation); statistics
+    must be exact under packing."""
+    from gdn_tpu.kernels.groupnorm import _lane_layout, _reference, fused_group_norm_elu
+
+    assert _lane_layout(16 * 32, 32) == (16 * 32 // 4, 128, 4)
+    assert _lane_layout(10 * 14, 16) == (140, 16, 1)  # 140 % 8 != 0
+    assert _lane_layout(64, 256) == (64, 256, 1)
+
+    x = jnp.asarray(rng.normal(size=(2, 16, 32, 32)).astype(np.float32) * 2 + 1)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, size=(32,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+    out = fused_group_norm_elu(x, scale, bias, 8, 1e-6, True)
+    ref = _reference(x, scale, bias, 8, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
 def test_fused_group_norm_elu_gradients(rng):
     from gdn_tpu.kernels.groupnorm import _reference, fused_group_norm_elu
 
