@@ -41,11 +41,12 @@ class ModelConfig:
     # friendly (no cross-device sync needed, unlike BatchNorm).
     norm: str = "group"
     group_norm_groups: int = 8
-    # GroupNorm statistics formulation (ops/groupnorm.py): "grouped"
-    # (reshape to (B,HW,G,C/G), reduce axes (1,3)) or "chanreduce"
-    # (single contiguous HW reduce + one-hot group matmul).  The GN
-    # chains are the profiled per-step hot spot (BASELINE.md).
-    gn_impl: str = "grouped"
+    # GroupNorm statistics formulation (ops/groupnorm.py): "chanreduce"
+    # (single contiguous HW reduce + one-hot group matmul) or "grouped"
+    # (reshape to (B,HW,G,C/G), reduce axes (1,3), two-pass variance).
+    # The GN chains are the profiled per-step hot spot; chanreduce
+    # measured +6.5% full-step throughput at B=128 (BASELINE.md).
+    gn_impl: str = "chanreduce"
     # Activation inside conv blocks. ELU is standard in depth nets.
     activation: str = "elu"
     # Upsampling style: "resize_conv" (bilinear resize + conv; avoids the
@@ -145,6 +146,10 @@ class TrainConfig:
     decay_epochs: int = 20
     decay_gamma: float = 0.5
     grad_clip: Optional[float] = None
+    # Run the optimizer on a single flattened parameter vector
+    # (optax.flatten): Adam over 65 small leaves costs ~65 latency-bound
+    # fusions per step; one fused vector op replaces them.
+    flatten_optimizer: bool = False
     # Stage 2: freeze the transferred decoder (optax.masked zero-updates).
     freeze_decoder: bool = True
     seed: int = 0

@@ -36,13 +36,30 @@ from jax.experimental.pallas import tpu as pltpu
 from gdn_tpu.ops.groupnorm import _group_matrix, group_norm_act
 
 
+def _row_block(rows: int, target: int = 2048) -> int:
+    """Largest divisor of ``rows`` that is <= target and a multiple of 8
+    (sublane tile); falls back to ``rows`` (no chunking)."""
+    if rows <= target:
+        return rows
+    for rb in range(target, 7, -1):
+        if rows % rb == 0 and rb % 8 == 0:
+            return rb
+    return rows
+
+
 def _gn_elu_kernel(x_ref, gmat_ref, scale_ref, bias_ref, out_ref,
-                   *, eps, n_per_group):
-    x = x_ref[0]  # (HW, C), input dtype
-    xf = x.astype(jnp.float32)
-    gmat = gmat_ref[:]  # (C, G) one-hot, fp32
-    s1 = jnp.sum(xf, axis=0, keepdims=True)            # (1, C)
-    s2 = jnp.sum(xf * xf, axis=0, keepdims=True)       # (1, C)
+                   *, eps, n_per_group, row_block):
+    rows = x_ref.shape[1]
+    gmat = gmat_ref[:]  # (lane, G) one-hot, fp32
+    # Pass 1: moment partial sums over row blocks.  Chunking bounds the
+    # fp32 transients: a monolithic (rows, lane) value graph blew scoped
+    # VMEM at full resolution (Mosaic keeps the upcast copies live).
+    s1 = jnp.zeros((1, x_ref.shape[2]), jnp.float32)
+    s2 = jnp.zeros((1, x_ref.shape[2]), jnp.float32)
+    for r0 in range(0, rows, row_block):
+        xb = x_ref[0, r0 : r0 + row_block, :].astype(jnp.float32)
+        s1 = s1 + jnp.sum(xb, axis=0, keepdims=True)
+        s2 = s2 + jnp.sum(xb * xb, axis=0, keepdims=True)
     mean_g = jnp.dot(s1, gmat, preferred_element_type=jnp.float32) / n_per_group
     ex2_g = jnp.dot(s2, gmat, preferred_element_type=jnp.float32) / n_per_group
     # clamp: cancellation can dip below zero -> rsqrt NaN (see ops/groupnorm)
@@ -50,10 +67,15 @@ def _gn_elu_kernel(x_ref, gmat_ref, scale_ref, bias_ref, out_ref,
     inv_g = jax.lax.rsqrt(var_g + eps)
     mean_c = jnp.dot(mean_g, gmat.T, preferred_element_type=jnp.float32)
     inv_c = jnp.dot(inv_g, gmat.T, preferred_element_type=jnp.float32)
-    yn = (xf - mean_c) * inv_c * scale_ref[:] + bias_ref[:]
-    # ELU; exp(x)-1 instead of expm1 (no Mosaic expm1 lowering)
-    y = jnp.where(yn > 0, yn, jnp.exp(jnp.minimum(yn, 0.0)) - 1.0)
-    out_ref[0] = y.astype(out_ref.dtype)
+    scale_c = inv_c * scale_ref[:]
+    # Pass 2: normalize + affine + ELU per row block (x stays in VMEM;
+    # the blocks only bound fp32 transients, not HBM traffic).
+    for r0 in range(0, rows, row_block):
+        xb = x_ref[0, r0 : r0 + row_block, :].astype(jnp.float32)
+        yn = (xb - mean_c) * scale_c + bias_ref[:]
+        # ELU; exp(x)-1 instead of expm1 (no Mosaic expm1 lowering)
+        y = jnp.where(yn > 0, yn, jnp.exp(jnp.minimum(yn, 0.0)) - 1.0)
+        out_ref[0, r0 : r0 + row_block, :] = y.astype(out_ref.dtype)
 
 
 def _reference(x, scale, bias, groups, eps):
@@ -105,7 +127,8 @@ def fused_group_norm_elu(
     scale_l = jnp.tile(scale.astype(jnp.float32), pack).reshape(1, lane)
     bias_l = jnp.tile(bias.astype(jnp.float32), pack).reshape(1, lane)
     kernel = functools.partial(
-        _gn_elu_kernel, eps=eps, n_per_group=float(hw * cg)
+        _gn_elu_kernel, eps=eps, n_per_group=float(hw * cg),
+        row_block=_row_block(rows),
     )
     out = pl.pallas_call(
         kernel,
@@ -132,8 +155,9 @@ def fused_group_norm_elu(
 
 
 def fits_vmem(h: int, w: int, c: int, itemsize: int = 4) -> bool:
-    """Input block + fp32 working copy per image within the VMEM budget."""
-    return h * w * c * (itemsize + 8) < 12 * 1024 * 1024
+    """Input + output blocks per image within the VMEM budget (the fp32
+    transients are bounded by the in-kernel row chunking)."""
+    return h * w * c * 2 * itemsize + 4 * 2048 * 128 * 4 < 12 * 1024 * 1024
 
 
 def _gn_fwd(x, scale, bias, groups, eps, interpret):

@@ -54,6 +54,10 @@ def create_optimizer(
     else:
         parts.append(optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps))
     tx = optax.chain(*parts)
+    if cfg.flatten_optimizer:
+        # One fused vector op instead of ~10 tiny fusions per leaf
+        # (latency-bound on TPU; see BASELINE.md step-floor profile).
+        tx = optax.flatten(tx)
     if freeze_decoder:
         def label_fn(params):
             return {
