@@ -48,7 +48,11 @@ def make_eval_step(
     @jax.jit
     def step(params, rgb, gt):
         pred = forward(params, rgb)[..., 0]  # (B, H, W) train res
-        return jax.vmap(one)(pred, gt)
+        per_image = jax.vmap(one)(pred, gt)
+        # ONE stacked (n_metrics, B) output: a dict fetch is one host
+        # round-trip per metric, which dominates eval time on
+        # remote-attached TPUs (measured ~2.6 ms RTT floor each).
+        return jnp.stack([per_image[k] for k in M.METRIC_NAMES])
 
     return step
 
@@ -102,10 +106,11 @@ def evaluate(
             # Warm up compile before timing fps (fetch to force
             # completion; block_until_ready can return early through
             # remote-TPU tunnels).
-            jax.tree.map(lambda a: np.asarray(a), steps[shape](params, rgb, gt))
+            np.asarray(steps[shape](params, rgb, gt))
             if t0 is None:
                 t0 = time.perf_counter()
-        result = jax.tree.map(np.asarray, steps[shape](params, rgb, gt))
+        stacked = np.asarray(steps[shape](params, rgb, gt))  # (n_metrics, B)
+        result = {k: stacked[j] for j, k in enumerate(M.METRIC_NAMES)}
         if save_preds:
             import os
 
