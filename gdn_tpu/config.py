@@ -152,6 +152,12 @@ class TrainConfig:
     # (optax.flatten): Adam over 65 small leaves costs ~65 latency-bound
     # fusions per step; one fused vector op replaces them.
     flatten_optimizer: bool = False
+    # Rematerialize the trained net's forward in the backward pass
+    # (jax.checkpoint): trades recompute FLOPs (MXU has headroom) for
+    # activation HBM traffic (the measured bottleneck past B~128).
+    remat: bool = False
+    # jax.checkpoint_policies name used when remat is on.
+    remat_policy: str = "nothing_saveable"
     # Stage 2: freeze the transferred decoder (optax.masked zero-updates).
     freeze_decoder: bool = True
     seed: int = 0

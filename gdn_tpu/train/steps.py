@@ -28,8 +28,19 @@ from gdn_tpu.train.state import TrainState
 Batch = Dict[str, jnp.ndarray]
 
 
+def _maybe_remat(apply_fn, cfg: Config):
+    """Wrap a flax apply in jax.checkpoint when cfg.train.remat: the
+    backward then recomputes the forward instead of reading stored
+    activations — recompute FLOPs for HBM bytes (the step is
+    bandwidth-bound past B~128, BASELINE.md)."""
+    if not cfg.train.remat:
+        return apply_fn
+    policy = getattr(jax.checkpoint_policies, cfg.train.remat_policy)
+    return jax.checkpoint(apply_fn, policy=policy)
+
+
 def _stage1_loss(params, apply_fn, batch: Batch, cfg: Config):
-    out = apply_fn({"params": params}, batch["depth"])
+    out = _maybe_remat(apply_fn, cfg)({"params": params}, batch["depth"])
     terms = total_loss(
         out["depth"], batch["depth"], batch["mask"],
         cfg.loss, cfg.model.max_depth,
@@ -40,7 +51,7 @@ def _stage1_loss(params, apply_fn, batch: Batch, cfg: Config):
 def _stage2_loss(params, d_params, apply_fn, d_apply_fn, batch: Batch, cfg: Config):
     # Frozen D-net runs on GT depth (no grad) to produce guidance targets.
     d_out = d_apply_fn({"params": d_params}, batch["depth"])
-    g_out = apply_fn({"params": params}, batch["rgb"])
+    g_out = _maybe_remat(apply_fn, cfg)({"params": params}, batch["rgb"])
     stop = jax.lax.stop_gradient
     terms = total_loss(
         g_out["depth"], batch["depth"], batch["mask"],

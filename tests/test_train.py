@@ -487,3 +487,21 @@ def test_flatten_optimizer_with_frozen_decoder(d_state):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert np.isfinite(float(terms["total"]))
+
+
+def test_remat_matches_baseline(d_state):
+    """TrainConfig.remat must not change the math: identical loss and
+    parameter update (jax.checkpoint only changes the schedule)."""
+    import dataclasses
+
+    cfg_remat = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, remat=True)
+    )
+    batch = _batch(11)
+    s_a = jax.tree.map(jnp.copy, d_state)
+    s_b = jax.tree.map(jnp.copy, d_state)
+    s_a, t_a = make_stage1_step(TINY, mesh=None)(s_a, batch)
+    s_b, t_b = make_stage1_step(cfg_remat, mesh=None)(s_b, batch)
+    assert float(t_a["total"]) == pytest.approx(float(t_b["total"]), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
