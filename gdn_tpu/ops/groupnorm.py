@@ -15,6 +15,10 @@ formulations selected by ``ModelConfig.gn_impl``:
   to (B, C) sums, then combine channels into groups with a tiny one-hot
   (C, G) matmul.  Reductions over one major axis lower to cleaner TPU
   reduce kernels than the strided (1, 3)-axis pair.
+(A "both moments in ONE variadic lax.reduce pass" variant was tried
+and measured 2x SLOWER end-to-end on TPU — variadic reduces fall out
+of XLA's fusion path and materialize fp32 copies; keep the two fused
+single-operand reduces.)
 
 Both are numerically equivalent (tests/test_ops.py) — statistics in
 float32, full-resolution elementwise math in the input dtype.
