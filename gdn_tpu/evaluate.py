@@ -79,16 +79,30 @@ def evaluate(
     steps = {}
     bs = max(1, cfg.eval.batch_size)
     n = 0
+    n_dispatched = 0
     t0 = None
     pending: Dict[Tuple[int, int], list] = {}
+    in_flight: list = []  # (device (n_metrics, B) array, n_real)
+    PIPELINE_DEPTH = 2  # batches dispatched ahead of the fetch point
     if save_preds:
         import os
 
         os.makedirs(save_preds, exist_ok=True)
         pred_fwd = jax.jit(forward)
 
+    def drain(to_depth: int):
+        nonlocal n
+        while len(in_flight) > to_depth:
+            stacked_dev, n_real = in_flight.pop(0)
+            stacked = np.asarray(stacked_dev)  # (n_metrics, B), ONE fetch
+            for i in range(n_real):
+                acc.update(
+                    {k: float(stacked[j, i]) for j, k in enumerate(M.METRIC_NAMES)}
+                )
+                n += 1
+
     def flush(shape):
-        nonlocal t0, n
+        nonlocal t0, n_dispatched
         samples = pending.pop(shape, [])
         if not samples:
             return
@@ -109,22 +123,25 @@ def evaluate(
             np.asarray(steps[shape](params, rgb, gt))
             if t0 is None:
                 t0 = time.perf_counter()
-        stacked = np.asarray(steps[shape](params, rgb, gt))  # (n_metrics, B)
-        result = {k: stacked[j] for j, k in enumerate(M.METRIC_NAMES)}
+        # Async dispatch; fetch happens in drain() so device compute and
+        # the per-batch host round-trip overlap across batches.
+        in_flight.append((steps[shape](params, rgb, gt), len(samples)))
         if save_preds:
             import os
 
             preds = np.asarray(pred_fwd(params, rgb))[..., 0]
             for i in range(len(samples)):
                 np.save(
-                    os.path.join(save_preds, f"pred_{n + i:06d}.npy"), preds[i]
+                    os.path.join(save_preds, f"pred_{n_dispatched + i:06d}.npy"),
+                    preds[i],
                 )
-        for i in range(len(samples)):
-            acc.update({k: float(v[i]) for k, v in result.items()})
-            n += 1
+        n_dispatched += len(samples)
+        drain(PIPELINE_DEPTH)
 
     for sample in dataset:
-        if max_images is not None and n + sum(map(len, pending.values())) >= max_images:
+        if max_images is not None and n_dispatched + sum(
+            map(len, pending.values())
+        ) >= max_images:
             break
         shape = tuple(np.asarray(sample["gt"]).shape[1:3])
         pending.setdefault(shape, []).append(sample)
@@ -132,6 +149,7 @@ def evaluate(
             flush(shape)
     for shape in list(pending):
         flush(shape)
+    drain(0)
     out = acc.result()
     if n > 0 and t0 is not None:
         out["fps"] = n / max(time.perf_counter() - t0, 1e-9)

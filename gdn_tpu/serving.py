@@ -83,7 +83,11 @@ class BatchedPredictor:
     def predict(self, rgbs: np.ndarray) -> np.ndarray:
         """rgbs (N, H, W, 3) float32 [0,1] -> depths (N, H, W) meters."""
         n = rgbs.shape[0]
-        out: List[np.ndarray] = []
+        # Dispatch ALL chunks first (jax dispatch is async), then fetch:
+        # device compute and H2D/D2H transfers pipeline instead of
+        # serializing one fetch round-trip per chunk (the measured
+        # bottleneck of remote-attached eval, BASELINE.md).
+        pending = []
         for start in range(0, n, self.batch_size):
             chunk = rgbs[start : start + self.batch_size]
             pad = self.batch_size - chunk.shape[0]
@@ -91,6 +95,9 @@ class BatchedPredictor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)]
                 )
-            depth = np.asarray(self._fwd(jnp.asarray(chunk)))[..., 0]
+            pending.append((self._fwd(jnp.asarray(chunk)), pad))
+        out: List[np.ndarray] = []
+        for depth_dev, pad in pending:
+            depth = np.asarray(depth_dev)[..., 0]
             out.append(depth[: self.batch_size - pad])
         return np.concatenate(out) if out else np.zeros((0,))
