@@ -5,6 +5,13 @@ stage 2 consumes the stage-1 file (SURVEY.md §2.9).  Here checkpoints
 go through orbax (async-capable, multi-host-safe): params + opt_state +
 step round-trip, and ``transfer_stage1_decoder`` implements the
 explicit decoder hand-off (SURVEY.md §5 checkpoint/resume row).
+
+COMPATIBILITY: the ConvBlock GroupNorm parameters moved from flax's
+auto-named ``GroupNorm_0: {scale, bias}`` subtree to explicit
+``gn_scale``/``gn_bias`` leaves in round 2 (GN consolidation).
+Checkpoints written before that change do not restore against the new
+tree; no such checkpoints ship with the repo, but if one exists, remap
+``.../GroupNorm_0/{scale,bias}`` -> ``.../{gn_scale,gn_bias}``.
 """
 
 from __future__ import annotations

@@ -63,7 +63,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no_freeze_decoder", action="store_true")
     p.add_argument("--ssim_precision", choices=["default", "high", "highest"],
                    default=None,
-                   help="MXU precision of the SSIM blurs (see LossConfig)")
+                   help="MXU precision of the SSIM blurs (see LossConfig). "
+                        "NOTE: 'high' has no Mosaic dot lowering, so the "
+                        "fused Pallas loss path runs it as 'highest'; the "
+                        "XLA fallback runs true HIGH")
     p.add_argument("--num_devices", type=int, default=0,
                    help="mesh size (0 = all devices)")
     p.add_argument("--log_every", type=int, default=50)

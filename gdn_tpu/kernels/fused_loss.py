@@ -259,13 +259,21 @@ def _fused_terms(
 
 
 def _normalize(raw):
-    """(B, 8) partial sums -> scalar terms dict."""
+    """(B, 8) partial sums -> scalar terms dict.
+
+    SSIM is unmasked per pixel, so whole images with NO valid pixels
+    (pad-and-mask rows from loop=False loaders) are dropped from its
+    mean via a per-image validity weight — matching the jnp path's
+    ``image_weights`` contract (losses.ssim_loss)."""
     tot = jnp.sum(raw, axis=0)
     recon = tot[_L1] / jnp.maximum(tot[_NM], 1.0)
     grad = tot[_GX] / jnp.maximum(tot[_NGX], 1.0) + tot[_GY] / jnp.maximum(
         tot[_NGY], 1.0
     )
-    ssim_mean = tot[_SSIM] / tot[_NPIX]
+    valid = (raw[:, _NM] > 0).astype(jnp.float32)  # (B,)
+    ssim_mean = jnp.sum(raw[:, _SSIM] * valid) / jnp.maximum(
+        jnp.sum(raw[:, _NPIX] * valid), 1.0
+    )
     return recon, grad, ssim_mean
 
 
@@ -300,9 +308,19 @@ def _fused_terms_bwd(
     ct_l1 = ct[0] / jnp.maximum(tot[_NM], 1.0)
     ct_gx = ct[1] / jnp.maximum(tot[_NGX], 1.0)
     ct_gy = ct[1] / jnp.maximum(tot[_NGY], 1.0)
-    ct_ssim = ct[2] / tot[_NPIX]
-    cts = jnp.broadcast_to(
-        jnp.stack([ct_l1, ct_gx, ct_gy, ct_ssim])[None, :], (b, 4)
+    # per-image SSIM cotangent: invalid (all-masked) images get zero,
+    # mirroring _normalize's validity weighting
+    valid = (raw[:, _NM] > 0).astype(jnp.float32)  # (B,)
+    denom = jnp.maximum(jnp.sum(raw[:, _NPIX] * valid), 1.0)
+    ct_ssim_i = ct[2] * valid / denom  # (B,)
+    cts = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.stack([ct_l1, ct_gx, ct_gy])[None, :], (b, 3)
+            ),
+            ct_ssim_i[:, None],
+        ],
+        axis=1,
     ).astype(jnp.float32)
     dpred = _call_bwd(
         pred, gt, mask, my, mx, myt, mxt, cts, c1, c2, 1.0 / max_val,

@@ -155,9 +155,23 @@ def fused_group_norm_elu(
 
 
 def fits_vmem(h: int, w: int, c: int, itemsize: int = 4) -> bool:
-    """Input + output blocks per image within the VMEM budget (the fp32
-    transients are bounded by the in-kernel row chunking)."""
-    return h * w * c * 2 * itemsize + 4 * 2048 * 128 * 4 < 12 * 1024 * 1024
+    """Input + output blocks per image within the VMEM budget, with the
+    fp32 transient bound taken from the ACTUAL row block the kernel
+    will use (the fallback rb=rows is unbounded)."""
+    rows, lane, _ = _lane_layout(h * w, c)
+    rb = _row_block(rows)
+    return (
+        rows * lane * 2 * itemsize + 4 * rb * lane * 4
+        < 12 * 1024 * 1024
+    )
+
+
+def kernel_supported(h: int, w: int, c: int, itemsize: int = 4) -> bool:
+    """Full gate for fused_group_norm_elu on TPU: VMEM budget AND a lane
+    layout Mosaic compiles (narrow unpacked lanes failed outright at
+    C=32; C>=64 compiles)."""
+    _, lane, _ = _lane_layout(h * w, c)
+    return lane >= 64 and fits_vmem(h, w, c, itemsize)
 
 
 def _gn_fwd(x, scale, bias, groups, eps, interpret):

@@ -16,7 +16,7 @@ available XLA fallback and the autodiff reference.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -102,15 +102,26 @@ def ssim_loss(
     window: int = 11,
     sigma: float = 1.5,
     precision: str = "highest",
+    image_weights: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """(1 - SSIM)/2 on depth normalized by max_depth."""
+    """(1 - SSIM)/2 on depth normalized by max_depth.
+
+    SSIM itself is unmasked (windowed structure needs dense maps), but
+    ``image_weights`` (B,) drops whole images from the mean — images
+    with an all-zero validity mask (e.g. the pad-and-mask rows emitted
+    by loop=False loaders, data/batching.py) must contribute nothing.
+    """
     p = _squeeze(pred).astype(jnp.float32) / max_depth
     g = _squeeze(gt).astype(jnp.float32) / max_depth
-    return (
-        1.0
-        - ssim(p, g, max_val=1.0, window=window, sigma=sigma,
-               precision=precision)
-    ) / 2.0
+    s_map = ssim(p, g, max_val=1.0, window=window, sigma=sigma,
+                 precision=precision, mean=False)
+    if image_weights is None:
+        s = jnp.mean(s_map)
+    else:
+        w = image_weights.astype(jnp.float32)
+        per_image = jnp.mean(s_map, axis=(1, 2))
+        s = jnp.sum(per_image * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return (1.0 - s) / 2.0
 
 
 def latent_loss(
@@ -149,6 +160,8 @@ def total_loss(
     if cfg.use_pallas and jax.default_backend() == "tpu":
         from gdn_tpu.kernels.fused_loss import fused_loss_terms
 
+        # The kernel weights each image's SSIM by whether it has any
+        # valid pixels (same contract as the jnp path's image_weights).
         fused = fused_loss_terms(
             pred, gt, mask, max_depth, cfg.ssim_window, cfg.ssim_sigma,
             precision=cfg.ssim_precision,
@@ -165,12 +178,16 @@ def total_loss(
             "ssim": fused["ssim"],
         }
     else:
+        valid_images = (
+            jnp.sum(_squeeze(mask).astype(jnp.float32), axis=(1, 2)) > 0
+        ).astype(jnp.float32)
         terms = {
             "recon": masked_l1(pred, gt, mask),
             "grad": gradient_loss(pred, gt, mask, cfg.grad_scales),
             "ssim": ssim_loss(
                 pred, gt, max_depth, cfg.ssim_window, cfg.ssim_sigma,
                 precision=cfg.ssim_precision,
+                image_weights=valid_images,
             ),
         }
     total = (

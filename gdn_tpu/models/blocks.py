@@ -45,10 +45,12 @@ def _group_norm_act(y, scale, bias, groups, cfg: ModelConfig):
         and cfg.activation == "elu"
         and jax.default_backend() == "tpu"
     ):
-        from gdn_tpu.kernels.groupnorm import fits_vmem, fused_group_norm_elu
+        from gdn_tpu.kernels.groupnorm import (
+            fused_group_norm_elu, kernel_supported,
+        )
 
         b, h, w, c = y.shape
-        if fits_vmem(h, w, c, y.dtype.itemsize):
+        if kernel_supported(h, w, c, y.dtype.itemsize):
             return fused_group_norm_elu(y, scale, bias, groups)
     from gdn_tpu.ops.groupnorm import group_norm_act
 
@@ -81,9 +83,9 @@ class ConvBlock(nn.Module):
             # Own scale/bias + shared ops/groupnorm implementation (one
             # GN code path repo-wide; stats fp32, elementwise stays in
             # the compute dtype — the HBM-bound step's hot chain).
-            groups = min(self.cfg.group_norm_groups, self.features)
-            while self.features % groups:
-                groups -= 1
+            from gdn_tpu.ops.groupnorm import pick_groups
+
+            groups = pick_groups(self.features, self.cfg.group_norm_groups)
             scale = self.param(
                 "gn_scale", nn.initializers.ones, (self.features,), jnp.float32
             )
@@ -143,9 +145,9 @@ class FusionBlock(nn.Module):
             jnp.float32,
         )
         use_gn = c.norm == "group"
-        groups = min(c.group_norm_groups, cout) if use_gn else 1
-        while use_gn and cout % groups:
-            groups -= 1
+        from gdn_tpu.ops.groupnorm import pick_groups
+
+        groups = pick_groups(cout, c.group_norm_groups) if use_gn else 1
         if use_gn:
             scale = self.param("scale", nn.initializers.ones, (cout,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
@@ -205,9 +207,9 @@ class UpBlock(nn.Module):
                 "up_kernel", nn.initializers.lecun_normal(),
                 (3, 3, cin, cout), jnp.float32,
             )
-            groups = min(c.group_norm_groups, cout)
-            while cout % groups:
-                groups -= 1
+            from gdn_tpu.ops.groupnorm import pick_groups
+
+            groups = pick_groups(cout, c.group_norm_groups)
             scale = self.param("up_scale", nn.initializers.ones, (cout,), jnp.float32)
             bias = self.param("up_bias", nn.initializers.zeros, (cout,), jnp.float32)
 

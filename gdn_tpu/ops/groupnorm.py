@@ -33,6 +33,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def pick_groups(features: int, preferred: int) -> int:
+    """Largest divisor of ``features`` that is <= preferred (>=1) — the
+    shared group-count rule for every GN site (blocks.py)."""
+    g = max(1, min(preferred, features))
+    while features % g:
+        g -= 1
+    return g
+
+
 def _group_matrix(c: int, groups: int) -> np.ndarray:
     """(C, G) one-hot channel→group matrix (fp32, trace-time constant)."""
     return np.kron(np.eye(groups), np.ones((c // groups, 1))).astype(

@@ -83,11 +83,20 @@ class BatchedPredictor:
     def predict(self, rgbs: np.ndarray) -> np.ndarray:
         """rgbs (N, H, W, 3) float32 [0,1] -> depths (N, H, W) meters."""
         n = rgbs.shape[0]
-        # Dispatch ALL chunks first (jax dispatch is async), then fetch:
+        # Dispatch ahead of the fetch point (jax dispatch is async) so
         # device compute and H2D/D2H transfers pipeline instead of
-        # serializing one fetch round-trip per chunk (the measured
-        # bottleneck of remote-attached eval, BASELINE.md).
-        pending = []
+        # serializing one fetch round-trip per chunk — but BOUNDED at a
+        # fixed depth so arbitrarily large requests can't pile every
+        # chunk's buffers onto the device at once.
+        DEPTH = 2
+        pending: List = []
+        out: List[np.ndarray] = []
+
+        def fetch_one():
+            depth_dev, pad = pending.pop(0)
+            depth = np.asarray(depth_dev)[..., 0]
+            out.append(depth[: self.batch_size - pad])
+
         for start in range(0, n, self.batch_size):
             chunk = rgbs[start : start + self.batch_size]
             pad = self.batch_size - chunk.shape[0]
@@ -96,8 +105,8 @@ class BatchedPredictor:
                     [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)]
                 )
             pending.append((self._fwd(jnp.asarray(chunk)), pad))
-        out: List[np.ndarray] = []
-        for depth_dev, pad in pending:
-            depth = np.asarray(depth_dev)[..., 0]
-            out.append(depth[: self.batch_size - pad])
+            if len(pending) > DEPTH:
+                fetch_one()
+        while pending:
+            fetch_one()
         return np.concatenate(out) if out else np.zeros((0,))

@@ -115,3 +115,53 @@ def test_loss_is_differentiable(rng):
     g = jax.grad(f)(gt * 0.9)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_padded_image_contributes_nothing(rng):
+    """An all-zero-mask image (pad-and-mask row from loop=False loaders,
+    data/batching.py) must contribute nothing to ANY loss term — incl.
+    the unmasked-per-pixel SSIM via per-image validity weighting — and
+    receive zero gradient."""
+    import jax
+    import jax.numpy as jnp
+    from gdn_tpu.config import LossConfig
+    from gdn_tpu.losses import total_loss
+
+    cfg = LossConfig(grad_scales=2, use_pallas=False)
+    pred3 = jnp.asarray(rng.uniform(1, 79, (3, 16, 24)).astype(np.float32))
+    gt3 = jnp.asarray(rng.uniform(1, 79, (3, 16, 24)).astype(np.float32))
+    mask3 = jnp.ones((3, 16, 24), jnp.float32).at[2].set(0.0)  # row 2 padded
+
+    t3 = total_loss(pred3, gt3, mask3, cfg, 80.0)
+    t2 = total_loss(pred3[:2], gt3[:2], mask3[:2], cfg, 80.0)
+    for k in ("recon", "grad", "ssim", "total"):
+        assert float(t3[k]) == pytest.approx(float(t2[k]), rel=1e-6), k
+
+    g = jax.grad(
+        lambda p: total_loss(p, gt3, mask3, cfg, 80.0)["total"]
+    )(pred3)
+    np.testing.assert_array_equal(np.asarray(g[2]), 0.0)
+    assert float(jnp.sum(jnp.abs(g[:2]))) > 0.0
+
+
+def test_padded_image_contributes_nothing_fused(rng):
+    """Same contract through the fused Pallas kernel (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+    from gdn_tpu.kernels.fused_loss import fused_loss_terms
+
+    pred3 = jnp.asarray(rng.uniform(1, 79, (3, 16, 24)).astype(np.float32))
+    gt3 = jnp.asarray(rng.uniform(1, 79, (3, 16, 24)).astype(np.float32))
+    mask3 = jnp.ones((3, 16, 24), jnp.float32).at[2].set(0.0)
+
+    f3 = fused_loss_terms(pred3, gt3, mask3, 80.0, interpret=True)
+    f2 = fused_loss_terms(pred3[:2], gt3[:2], mask3[:2], 80.0, interpret=True)
+    for k in ("recon", "grad0", "ssim"):
+        assert float(f3[k]) == pytest.approx(float(f2[k]), rel=1e-6), k
+
+    g = jax.grad(
+        lambda p: sum(
+            fused_loss_terms(p, gt3, mask3, 80.0, interpret=True).values()
+        )
+    )(pred3)
+    np.testing.assert_array_equal(np.asarray(g[2]), 0.0)
