@@ -75,6 +75,12 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--val_pairs_list", type=str, default="",
                    help="optional held-out list (train pair format) for "
                         "per-epoch validation loss")
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="(RtoD) run the FULL eval protocol on the "
+                        "--val_list split every N epochs and log the "
+                        "7-metric table (0 = off)")
+    p.add_argument("--eval_max_images", type=int, default=None,
+                   help="cap images per in-training eval pass")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard scalars under <model_dir>/tb")
 

@@ -179,9 +179,19 @@ def train_stage2(
     val_iter: Optional[Iterable[Dict[str, Any]]] = None,
     val_steps: int = 10,
     mesh=None,
+    eval_dataset=None,
+    eval_every: int = 1,
+    eval_max_images: Optional[int] = None,
 ):
     """Guided G-net training: transfer + freeze the stage-1 decoder,
-    train with guidance targets from the frozen D-net."""
+    train with guidance targets from the frozen D-net.
+
+    ``eval_dataset``: optional zero-arg callable returning an eval-split
+    iterable ({'rgb' (1,H,W,3), 'gt' (1,Hg,Wg)}); every ``eval_every``
+    epochs the FULL eval protocol (evaluate.py: upsample→crop/cap→
+    7-metric table) runs on it and the metrics are logged as
+    ``eval_*`` — the reference's train-then-eval-script loop as one
+    command."""
     h, w = cfg.model.image_size
     if mesh is None:
         mesh = create_mesh(cfg.mesh.num_devices) if use_mesh else None
@@ -214,6 +224,18 @@ def train_stage2(
         if val_iter is not None:
             _validate(cfg, state, iter(val_iter), val_steps, logger,
                       d_params=d_params)
+        if eval_dataset is not None and (epoch + 1) % max(eval_every, 1) == 0:
+            from gdn_tpu.evaluate import evaluate
+            from gdn_tpu.train.steps import make_eval_forward
+
+            out = evaluate(
+                cfg, state.params, make_eval_forward(cfg, model),
+                eval_dataset(), max_images=eval_max_images, verbose=False,
+            )
+            logger.log(
+                step=int(state.step),
+                **{f"eval_{k}": v for k, v in out.items()},
+            )
         if cfg.train.ckpt_dir:
             ckpt.save_checkpoint(
                 f"{cfg.train.ckpt_dir}/stage2", int(state.step), state,

@@ -107,9 +107,16 @@ def main():
                 f"{cfg.train.ckpt_dir}/stage2", state
             )
             print(f"resumed stage 2 at step {int(state.step)}")
+        eval_dataset = None
+        if args.eval_every and cfg.data.dataset != "synthetic":
+            eval_dataset = lambda: iter(make_loader(cfg, "eval"))
+        elif args.eval_every:
+            print("--eval_every ignored: synthetic data has no eval split")
         state = train_stage2(
             cfg, pipeline, d_params, state=state, logger=logger,
             val_iter=val_iter, mesh=mesh,
+            eval_dataset=eval_dataset, eval_every=args.eval_every,
+            eval_max_images=args.eval_max_images,
         )
         print(f"stage 2 finished at step {int(state.step)}")
 

@@ -505,3 +505,33 @@ def test_remat_matches_baseline(d_state):
     assert float(t_a["total"]) == pytest.approx(float(t_b["total"]), rel=1e-6)
     for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_in_training_eval_hook(d_state):
+    """train_stage2(eval_dataset=...) runs the full eval protocol per
+    epoch and logs eval_* metrics."""
+    import io
+    from gdn_tpu.train.loop import train_stage2
+    from gdn_tpu.utils.logging import MetricLogger
+
+    rng = np.random.default_rng(0)
+
+    def eval_ds():
+        for i in range(3):
+            b = _batch(60 + i, b=1)
+            gt = rng.uniform(1, 79, (1, 64, 128)).astype(np.float32)
+            yield {"rgb": np.asarray(b["rgb"]), "gt": gt}
+
+    import dataclasses
+    cfg = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, steps_per_epoch=2)
+    )
+    buf = io.StringIO()
+    logger = MetricLogger(prefix="s2", stream=buf)
+    ds = SyntheticDataset(batch_size=8, height=32, width=64)
+    train_stage2(
+        cfg, ds, d_state.params, use_mesh=False, epochs=1, logger=logger,
+        eval_dataset=eval_ds,
+    )
+    out = buf.getvalue()
+    assert "eval_abs_rel" in out and "eval_a1" in out and "eval_fps" in out
