@@ -26,6 +26,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="checkpoint directory")
     p.add_argument("--no_pallas", action="store_true",
                    help="disable Pallas kernels (XLA fallback)")
+    p.add_argument("--upsample", choices=["resize_conv", "deconv"],
+                   default=None,
+                   help="decoder upsampling style: resize_conv (default; "
+                        "artifact-free) or deconv (the reference's style; "
+                        "measured +42%% step throughput, BASELINE.md)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", choices=["default", "cpu", "tpu"],
                    default="default",
@@ -117,6 +122,8 @@ def build_config(args: argparse.Namespace) -> Config:
         model = dataclasses.replace(model, image_size=(h, w))
     if args.max_depth:
         model = dataclasses.replace(model, max_depth=args.max_depth)
+    if getattr(args, "upsample", None):
+        model = dataclasses.replace(model, upsample=args.upsample)
     if getattr(args, "no_pallas", False):
         model = dataclasses.replace(model, use_pallas=False)
         over["loss.use_pallas"] = False

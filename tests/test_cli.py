@@ -74,3 +74,9 @@ def test_no_pallas_flag():
     cfg = build_config(_parse(["--no_pallas"]))
     assert cfg.model.use_pallas is False
     assert cfg.loss.use_pallas is False
+
+
+def test_upsample_flag():
+    cfg = build_config(_parse(["--upsample", "deconv"]))
+    assert cfg.model.upsample == "deconv"
+    assert build_config(_parse([])).model.upsample == "resize_conv"
