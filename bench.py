@@ -24,8 +24,12 @@ import time
 ESTIMATED_REFERENCE_IMGS_PER_SEC = 100.0
 
 # The remote-TPU tunnel in this environment sometimes wedges for long
-# stretches; never leave the driver without its JSON line.
-BENCH_TIMEOUT_S = int(os.environ.get("GDN_BENCH_TIMEOUT", "3000"))
+# stretches; never leave the driver without its JSON line.  The
+# watchdog must fire BEFORE any plausible outer timeout kills the
+# process uncleanly (a healthy run takes ~3-6 min incl. compiles;
+# wedged tunnels stay wedged for ~40 min, so waiting longer than this
+# only risks losing the line).
+BENCH_TIMEOUT_S = int(os.environ.get("GDN_BENCH_TIMEOUT", "840"))
 
 
 def _emit(value: float, vs_baseline: float) -> None:
