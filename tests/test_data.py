@@ -350,3 +350,31 @@ def test_augmentation_zoom_scales_depth():
     out = augment_batch(jax.random.PRNGKey(0), batch, cfg)
     np.testing.assert_allclose(np.asarray(out["depth"]), 40.0 / 1.25, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out["mask"]), 1.0)
+
+
+def test_separable_warp_matches_gather_reference(rng):
+    """The MXU matrix warp must equal the gather-based sampling (the
+    TPU-slow reference kept for exactly this test), incl. nearest mode
+    copying values exactly."""
+    import jax.numpy as jnp
+    from gdn_tpu.data.augment import (
+        _sample_bilinear, _sample_nearest, _warp_separable,
+    )
+
+    h, w = 24, 36
+    img = jnp.asarray(rng.uniform(0, 80, (h, w, 2)).astype(np.float32))
+    # coords incl. out-of-range edges (the zoom grid can start < 0)
+    ys = jnp.asarray(
+        (rng.uniform(-0.4, h - 0.6, h)).astype(np.float32)
+    )
+    xs = jnp.asarray((rng.uniform(-0.4, w - 0.6, w)).astype(np.float32))
+    ys2 = jnp.broadcast_to(ys[:, None], (h, w))
+    xs2 = jnp.broadcast_to(xs[None, :], (h, w))
+
+    bi_ref = np.asarray(_sample_bilinear(img, ys2, xs2))
+    bi_mat = np.asarray(_warp_separable(img, ys, xs, nearest=False))
+    np.testing.assert_allclose(bi_mat, bi_ref, rtol=1e-5, atol=1e-4)
+
+    ne_ref = np.asarray(_sample_nearest(img, ys2, xs2))
+    ne_mat = np.asarray(_warp_separable(img, ys, xs, nearest=True))
+    np.testing.assert_array_equal(ne_mat, ne_ref)  # exact value copies
