@@ -1,5 +1,6 @@
 """Aux subsystem tests: guards, step timer, logging."""
 
+import os
 import json
 
 import jax
@@ -105,3 +106,57 @@ def test_local_batch_slice_multiprocess_math(monkeypatch):
     monkeypatch.setattr(jax, "process_index", lambda: 0)
     with pytest.raises(AssertionError, match="divide"):
         multihost.local_batch_slice(30)
+
+
+def test_multihost_two_process_smoke(tmp_path):
+    """Real jax.distributed bring-up: 2 local processes, one CPU device
+    each, global 2-device mesh, cross-process global reduction.  The
+    TPU answer to 'multi-node without a cluster' (SURVEY.md §2.11 DCN
+    row); upgrades parallel/multihost.py from slicing-math-only tests
+    to an actually-communicating smoke test."""
+    import subprocess
+    import sys
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        "import sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "pid = int(sys.argv[1])\n"
+        "jax.distributed.initialize(\n"
+        "    coordinator_address='localhost:9732', num_processes=2,\n"
+        "    process_id=pid)\n"
+        "import numpy as np\n"
+        "import jax.numpy as jnp\n"
+        "from jax.sharding import Mesh, NamedSharding, PartitionSpec as P\n"
+        "from gdn_tpu.parallel.multihost import local_batch_slice\n"
+        "assert jax.process_count() == 2\n"
+        "devs = jax.devices()\n"
+        "assert len(devs) == 2, devs\n"
+        "assert local_batch_slice(4) == (2 * pid, 2 * pid + 2)\n"
+        "mesh = Mesh(np.asarray(devs), ('data',))\n"
+        "local = jnp.asarray([float(pid + 1)])\n"
+        "arr = jax.make_array_from_single_device_arrays(\n"
+        "    (2,), NamedSharding(mesh, P('data')),\n"
+        "    [jax.device_put(local, jax.local_devices()[0])])\n"
+        "total = jax.jit(lambda x: jnp.sum(x),\n"
+        "                out_shardings=NamedSharding(mesh, P()))(arr)\n"
+        "assert float(total) == 3.0, float(total)\n"
+        "print(f'proc {pid} ok')\n"
+    )
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"proc {i} ok" in out
