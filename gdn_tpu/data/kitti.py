@@ -72,11 +72,15 @@ def load_depth(path: str, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
     return depth
 
 
-class KittiTrainDataset:
+from gdn_tpu.data.batching import SeekableLoaderMixin
+
+
+class KittiTrainDataset(SeekableLoaderMixin):
     """Batched iterator over prepared KITTI training pairs.
 
     Yields host batches {'rgb' (B,H,W,3), 'depth' (B,H,W,1),
     'mask' (B,H,W,1)} ready for device transfer + on-device augmentation.
+    ``seek(n)`` (SeekableLoaderMixin) resumes the data order at batch n.
     """
 
     def __init__(
@@ -105,6 +109,7 @@ class KittiTrainDataset:
         self.shuffle = shuffle
         self.max_depth = max_depth
         self.loop = loop
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
         # Native C++ threaded decode (native/gdn_io.cpp) when the .so is
         # built and the depth files are 16-bit PNGs; PIL otherwise.
@@ -148,23 +153,7 @@ class KittiTrainDataset:
             "mask": mask,
         }
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        from gdn_tpu.data.batching import iter_batch_indices
-
-        order = np.arange(len(self.entries))
-        while True:
-            if self.shuffle:
-                self._rng.shuffle(order)
-            for idx, n_pad in iter_batch_indices(
-                order, self.batch_size, self.loop
-            ):
-                batch = self._make_batch(idx)
-                if n_pad:
-                    # padded rows must not contribute to masked losses
-                    batch["mask"][-n_pad:] = 0.0
-                yield batch
-            if not self.loop:
-                break
+    # __iter__ comes from SeekableLoaderMixin (index replay + seek).
 
 
 class KittiEvalDataset:

@@ -54,8 +54,12 @@ def load_nyu_depth(path: str, size: Optional[Tuple[int, int]] = None) -> np.ndar
     return depth
 
 
-class NyuTrainDataset:
-    """Same batch contract as KittiTrainDataset, at 228x304 / 10 m."""
+from gdn_tpu.data.batching import SeekableLoaderMixin
+
+
+class NyuTrainDataset(SeekableLoaderMixin):
+    """Same batch contract as KittiTrainDataset, at 228x304 / 10 m;
+    ``seek(n)`` (SeekableLoaderMixin) resumes the data order at batch n."""
 
     def __init__(
         self,
@@ -75,6 +79,7 @@ class NyuTrainDataset:
         self.shuffle = shuffle
         self.max_depth = max_depth
         self.loop = loop
+        self._seed = seed
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -107,22 +112,7 @@ class NyuTrainDataset:
             "mask": mask,
         }
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        from gdn_tpu.data.batching import iter_batch_indices
-
-        order = np.arange(len(self.entries))
-        while True:
-            if self.shuffle:
-                self._rng.shuffle(order)
-            for idx, n_pad in iter_batch_indices(
-                order, self.batch_size, self.loop
-            ):
-                batch = self._make_batch(idx)
-                if n_pad:
-                    batch["mask"][-n_pad:] = 0.0
-                yield batch
-            if not self.loop:
-                break
+    # __iter__ comes from SeekableLoaderMixin (index replay + seek).
 
 
 class NyuLabeledMatDataset:

@@ -66,9 +66,18 @@ def make_train_pipeline(
     mesh=None,
     augment: bool = True,
     seed: Optional[int] = None,
+    skip: int = 0,
 ) -> Iterator[Dict[str, Any]]:
-    """loader -> device prefetch -> on-device augmentation."""
+    """loader -> device prefetch -> on-device augmentation.
+
+    ``skip``: number of batches already consumed by a resumed run; the
+    augmentation key chain is fast-forwarded by that many splits so the
+    resumed stream is bit-identical to an uninterrupted one (the loader
+    itself must be ``seek(skip)``-ed by the caller — scripts/train.py).
+    """
     key = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)
+    for _ in range(skip):
+        key, _ = jax.random.split(key)
     for batch in prefetch_to_device(loader, cfg.data.prefetch, mesh):
         if augment:
             key, sub = jax.random.split(key)
@@ -82,8 +91,14 @@ def make_loader(cfg: Config, split: str = "train"):
     h, w = cfg.model.image_size
     d = cfg.data
     if d.dataset == "synthetic":
-        from gdn_tpu.data.synthetic import SyntheticDataset
+        from gdn_tpu.data.synthetic import (
+            SyntheticDataset, SyntheticEvalDataset,
+        )
 
+        if split == "eval":
+            return SyntheticEvalDataset(
+                height=h, width=w, max_depth=cfg.model.max_depth,
+            )
         return SyntheticDataset(
             batch_size=d.batch_size, height=h, width=w,
             max_depth=cfg.model.max_depth, seed=cfg.train.seed,

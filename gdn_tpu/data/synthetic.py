@@ -80,6 +80,44 @@ def synthetic_batch(
     }
 
 
+class SyntheticEvalDataset:
+    """Bounded eval-split facade matching the KITTI/NYU eval loader
+    interface: yields per-image {'rgb' (1,H,W,3), 'gt' (1,H,W)} so the
+    full eval protocol (evaluate.py: upsample->crop/cap->metric table)
+    runs end-to-end without data on disk (scripts/eval.py --dataset
+    synthetic; exercised by tests/test_cli_integration.py)."""
+
+    def __init__(
+        self,
+        n_images: int = 32,
+        height: int = 128,
+        width: int = 416,
+        max_depth: float = 80.0,
+        seed: int = 999,
+    ):
+        self.n_images = n_images
+        self.height = height
+        self.width = width
+        self.max_depth = max_depth
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n_images
+
+    def __iter__(self) -> Iterator[Dict[str, jnp.ndarray]]:
+        import numpy as np
+
+        key = jax.random.PRNGKey(self.seed)
+        for _ in range(self.n_images):
+            key, sub = jax.random.split(key)
+            b = synthetic_batch(sub, 1, self.height, self.width,
+                                self.max_depth)
+            yield {
+                "rgb": np.asarray(b["rgb"]),
+                "gt": np.asarray(b["depth"])[..., 0],
+            }
+
+
 class SyntheticDataset:
     """Iterator facade matching the KITTI/NYU loader interface."""
 
@@ -96,9 +134,18 @@ class SyntheticDataset:
         self.width = width
         self.max_depth = max_depth
         self._key = jax.random.PRNGKey(seed)
+        self._skip = 0
+
+    def seek(self, n_batches: int) -> None:
+        """Resume the batch stream at batch ``n_batches`` (deterministic
+        key replay; same contract as data/batching.SeekableLoaderMixin)."""
+        self._skip = int(n_batches)
 
     def __iter__(self) -> Iterator[Dict[str, jnp.ndarray]]:
         key = self._key
+        skip, self._skip = self._skip, 0
+        for _ in range(skip):
+            key, _ = jax.random.split(key)
         while True:
             key, sub = jax.random.split(key)
             yield synthetic_batch(

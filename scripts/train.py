@@ -47,7 +47,18 @@ def main():
     mesh = create_mesh(cfg.mesh.num_devices)
     loader = make_loader(cfg, "train")
     augment = cfg.data.dataset != "synthetic"
-    pipeline = make_train_pipeline(cfg, loader, mesh=mesh, augment=augment)
+
+    def build_pipeline(resumed_step: int = 0):
+        # Deterministic data-order resume: the batch stream is a pure
+        # function of (seed, batch index), so seeking the loader and
+        # fast-forwarding the augmentation key chain by the restored
+        # step count replays batches exactly as an uninterrupted run.
+        if resumed_step:
+            loader.seek(resumed_step)
+        return make_train_pipeline(
+            cfg, loader, mesh=mesh, augment=augment, skip=resumed_step
+        )
+
     logger = MetricLogger(
         prefix=f"stage{'1' if args.mode == 'DtoD' else '2'}",
         jsonl_path=os.path.join(cfg.train.ckpt_dir, "train_log.jsonl")
@@ -82,7 +93,8 @@ def main():
             )
             print(f"resumed stage 1 at step {int(state.step)}")
         state = train_stage1(
-            cfg, pipeline, state=state, logger=logger, val_iter=val_iter,
+            cfg, build_pipeline(int(state.step) if state is not None else 0),
+            state=state, logger=logger, val_iter=val_iter,
             mesh=mesh,
         )
         print(f"stage 1 finished at step {int(state.step)}")
@@ -108,12 +120,13 @@ def main():
             )
             print(f"resumed stage 2 at step {int(state.step)}")
         eval_dataset = None
-        if args.eval_every and cfg.data.dataset != "synthetic":
+        if args.eval_every:
+            # synthetic included: data/synthetic.SyntheticEvalDataset
+            # provides a bounded eval split without data on disk.
             eval_dataset = lambda: iter(make_loader(cfg, "eval"))
-        elif args.eval_every:
-            print("--eval_every ignored: synthetic data has no eval split")
         state = train_stage2(
-            cfg, pipeline, d_params, state=state, logger=logger,
+            cfg, build_pipeline(int(state.step) if state is not None else 0),
+            d_params, state=state, logger=logger,
             val_iter=val_iter, mesh=mesh,
             eval_dataset=eval_dataset, eval_every=args.eval_every,
             eval_max_images=args.eval_max_images,

@@ -378,3 +378,73 @@ def test_separable_warp_matches_gather_reference(rng):
     ne_ref = np.asarray(_sample_nearest(img, ys2, xs2))
     ne_mat = np.asarray(_warp_separable(img, ys, xs, nearest=True))
     np.testing.assert_array_equal(ne_mat, ne_ref)  # exact value copies
+
+
+def test_seekable_loader_resume_matches_uninterrupted(kitti_fixture):
+    """Deterministic data-order resume (VERDICT r2 item 7): a loader
+    seek()-ed to batch n yields the same batches as an uninterrupted
+    run from the start."""
+    mk = lambda: KittiTrainDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=2, seed=5
+    )
+    full = mk()
+    it = iter(full)
+    reference = [next(it) for _ in range(7)]  # crosses an epoch boundary
+
+    resumed = mk()
+    resumed.seek(3)
+    it2 = iter(resumed)
+    for n, want in enumerate(reference[3:], start=3):
+        got = next(it2)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=f"batch {n} {k}")
+
+
+def test_seekable_loader_seek_applies_once(kitti_fixture):
+    ds = KittiTrainDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=2, seed=5
+    )
+    ref = [next(iter(KittiTrainDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=2, seed=5
+    ))) for _ in range(1)]
+    ds.seek(2)
+    next(iter(ds))  # consumes the seek
+    fresh = next(iter(ds))  # second __iter__ starts a fresh epoch stream
+    assert fresh["rgb"].shape == ref[0]["rgb"].shape
+
+
+def test_synthetic_seek_matches_uninterrupted():
+    from gdn_tpu.data.synthetic import SyntheticDataset
+
+    full = SyntheticDataset(batch_size=2, height=16, width=32, seed=4)
+    it = iter(full)
+    reference = [np.asarray(next(it)["rgb"]) for _ in range(5)]
+
+    resumed = SyntheticDataset(batch_size=2, height=16, width=32, seed=4)
+    resumed.seek(2)
+    it2 = iter(resumed)
+    for want in reference[2:]:
+        np.testing.assert_array_equal(np.asarray(next(it2)["rgb"]), want)
+
+
+def test_pipeline_skip_fastforwards_augmentation():
+    """make_train_pipeline(skip=n) must reproduce the SAME augmented
+    batches an uninterrupted pipeline would produce from batch n on."""
+    from gdn_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from gdn_tpu.data.pipeline import make_train_pipeline
+    from gdn_tpu.data.synthetic import SyntheticDataset
+
+    cfg = Config(
+        model=ModelConfig(image_size=(16, 32)),
+        data=DataConfig(dataset="synthetic", batch_size=2, prefetch=1),
+        train=TrainConfig(seed=9),
+    )
+    mk = lambda: SyntheticDataset(batch_size=2, height=16, width=32, seed=9)
+    ref_pipe = make_train_pipeline(cfg, mk(), augment=True)
+    reference = [np.asarray(next(ref_pipe)["rgb"]) for _ in range(5)]
+
+    loader = mk()
+    loader.seek(3)
+    resumed_pipe = make_train_pipeline(cfg, loader, augment=True, skip=3)
+    for want in reference[3:]:
+        np.testing.assert_array_equal(np.asarray(next(resumed_pipe)["rgb"]), want)
