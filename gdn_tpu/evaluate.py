@@ -7,12 +7,23 @@
 The forward+resize+metrics pipeline is one jitted program per GT
 resolution; metrics are computed on device in fp32 and only the scalar
 dict crosses to host, so eval fps measures the chip, not transfers.
+
+Throughput structure (measured on the remote-attached chip, BASELINE.md):
+  - ONE stacked (n_metrics, B) fetch per batch — a dict fetch costs one
+    host round-trip per metric (~2.6 ms RTT floor each);
+  - batch assembly + H2D upload runs in a background prefetch thread
+    (the raw-res GT upload was the harness bottleneck: ~1.86 MB/image);
+  - dispatch runs 2 batches ahead of the fetch point;
+  - ``save_preds`` returns predictions FROM the eval step itself — no
+    second forward pass.
 """
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Iterable, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,10 +38,12 @@ def make_eval_step(
     cfg: Config,
     forward: Callable[[Any, jnp.ndarray], jnp.ndarray],
     gt_shape: Tuple[int, int],
+    return_preds: bool = False,
 ):
-    """Jitted: (params, rgb (B,H,W,3), gt (B,Hg,Wg)) -> per-image metric
-    dict with leading batch dim (protocol metrics stay per-image; the
-    batch only amortizes dispatch + fills the chip)."""
+    """Jitted: (params, rgb (B,H,W,3), gt (B,Hg,Wg)) -> stacked
+    (n_metrics, B) per-image metrics [+ train-res predictions when
+    ``return_preds``] (protocol metrics stay per-image; the batch only
+    amortizes dispatch + fills the chip)."""
     crop = jnp.asarray(M.crop_mask(gt_shape[0], gt_shape[1], cfg.eval.crop))
 
     def one(pred_small, gt2):
@@ -52,9 +65,74 @@ def make_eval_step(
         # ONE stacked (n_metrics, B) output: a dict fetch is one host
         # round-trip per metric, which dominates eval time on
         # remote-attached TPUs (measured ~2.6 ms RTT floor each).
-        return jnp.stack([per_image[k] for k in M.METRIC_NAMES])
+        stacked = jnp.stack([per_image[k] for k in M.METRIC_NAMES])
+        return (stacked, pred) if return_preds else stacked
 
     return step
+
+
+def _batch_iter(
+    dataset: Iterable[Dict[str, np.ndarray]],
+    bs: int,
+    max_images: Optional[int],
+) -> Iterator[Tuple[Tuple[int, int], np.ndarray, np.ndarray, int]]:
+    """Group per-image samples into (gt_shape, rgb, gt, n_real) host
+    batches of ``bs`` per GT resolution; the final partial batch per
+    shape is padded with its last sample (discarded downstream)."""
+
+    def assemble(samples):
+        pad = bs - len(samples)
+        rgb = np.concatenate(
+            [np.asarray(s["rgb"]) for s in samples]
+            + [np.asarray(samples[-1]["rgb"])] * pad
+        )
+        gt = np.concatenate(
+            [np.asarray(s["gt"]) for s in samples]
+            + [np.asarray(samples[-1]["gt"])] * pad
+        )
+        return rgb, gt, len(samples)
+
+    pending: Dict[Tuple[int, int], list] = {}
+    n_in = 0
+    for sample in dataset:
+        if max_images is not None and n_in >= max_images:
+            break
+        shape = tuple(np.asarray(sample["gt"]).shape[1:3])
+        pending.setdefault(shape, []).append(sample)
+        n_in += 1
+        if len(pending[shape]) == bs:
+            yield (shape, *assemble(pending.pop(shape)))
+    for shape in list(pending):
+        yield (shape, *assemble(pending.pop(shape)))
+
+
+def _prefetch(iterator, size: int = 2):
+    """Background thread that uploads host batches to device ahead of
+    the consumer (jax.device_put is async; the transfer overlaps the
+    in-flight eval steps).  The raw-res GT is the big tensor here —
+    uploading it synchronously serialized the whole harness before
+    (VERDICT r2 weak item 5)."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: list = []
+
+    def producer():
+        try:
+            for shape, rgb, gt, n_real in iterator:
+                q.put((shape, jax.device_put(rgb), jax.device_put(gt), n_real))
+        except Exception as e:
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 
 def evaluate(
@@ -70,85 +148,65 @@ def evaluate(
 
     `dataset` yields dicts with 'rgb' (1,H,W,3) at train res and
     'gt' (1,Hg,Wg) raw-resolution GT depth.  Samples are grouped into
-    batches of ``cfg.eval.batch_size`` per GT resolution (metrics stay
-    per-image; batching amortizes dispatch and fills the chip — on
-    remote-attached TPUs per-image dispatch dominates otherwise).
-    The final partial batch is padded and the padding discarded.
+    batches of ``cfg.eval.batch_size`` per GT resolution; batches are
+    uploaded by a background prefetch thread and dispatched 2 deep.
     """
     acc = M.MetricAccumulator()
     steps = {}
     bs = max(1, cfg.eval.batch_size)
     n = 0
-    n_dispatched = 0
+    n_saved = 0
     t0 = None
-    pending: Dict[Tuple[int, int], list] = {}
-    in_flight: list = []  # (device (n_metrics, B) array, n_real)
+    in_flight: list = []  # (metrics (n_metrics,B) dev, preds dev|None, n_real)
     PIPELINE_DEPTH = 2  # batches dispatched ahead of the fetch point
     if save_preds:
         import os
 
         os.makedirs(save_preds, exist_ok=True)
-        pred_fwd = jax.jit(forward)
 
     def drain(to_depth: int):
-        nonlocal n
+        nonlocal n, n_saved
         while len(in_flight) > to_depth:
-            stacked_dev, n_real = in_flight.pop(0)
+            stacked_dev, preds_dev, n_real = in_flight.pop(0)
             stacked = np.asarray(stacked_dev)  # (n_metrics, B), ONE fetch
             for i in range(n_real):
                 acc.update(
                     {k: float(stacked[j, i]) for j, k in enumerate(M.METRIC_NAMES)}
                 )
                 n += 1
+            if preds_dev is not None:
+                import os
 
-    def flush(shape):
-        nonlocal t0, n_dispatched
-        samples = pending.pop(shape, [])
-        if not samples:
-            return
-        pad = bs - len(samples) if len(samples) < bs else 0
-        rgb = jnp.concatenate(
-            [jnp.asarray(s["rgb"]) for s in samples]
-            + [jnp.asarray(samples[-1]["rgb"])] * pad
-        )
-        gt = jnp.concatenate(
-            [jnp.asarray(s["gt"]) for s in samples]
-            + [jnp.asarray(samples[-1]["gt"])] * pad
-        )
+                preds = np.asarray(preds_dev)
+                for i in range(n_real):
+                    np.save(
+                        os.path.join(save_preds, f"pred_{n_saved:06d}.npy"),
+                        preds[i],
+                    )
+                    n_saved += 1
+
+    for shape, rgb, gt, n_real in _prefetch(
+        _batch_iter(dataset, bs, max_images)
+    ):
         if shape not in steps:
-            steps[shape] = make_eval_step(cfg, forward, shape)
+            steps[shape] = make_eval_step(
+                cfg, forward, shape, return_preds=bool(save_preds)
+            )
             # Warm up compile before timing fps (fetch to force
             # completion; block_until_ready can return early through
             # remote-TPU tunnels).
-            np.asarray(steps[shape](params, rgb, gt))
+            out = steps[shape](params, rgb, gt)
+            jax.tree.map(np.asarray, out)
             if t0 is None:
                 t0 = time.perf_counter()
-        # Async dispatch; fetch happens in drain() so device compute and
+        # Async dispatch; fetches happen in drain() so device compute and
         # the per-batch host round-trip overlap across batches.
-        in_flight.append((steps[shape](params, rgb, gt), len(samples)))
+        out = steps[shape](params, rgb, gt)
         if save_preds:
-            import os
-
-            preds = np.asarray(pred_fwd(params, rgb))[..., 0]
-            for i in range(len(samples)):
-                np.save(
-                    os.path.join(save_preds, f"pred_{n_dispatched + i:06d}.npy"),
-                    preds[i],
-                )
-        n_dispatched += len(samples)
+            in_flight.append((out[0], out[1], n_real))
+        else:
+            in_flight.append((out, None, n_real))
         drain(PIPELINE_DEPTH)
-
-    for sample in dataset:
-        if max_images is not None and n_dispatched + sum(
-            map(len, pending.values())
-        ) >= max_images:
-            break
-        shape = tuple(np.asarray(sample["gt"]).shape[1:3])
-        pending.setdefault(shape, []).append(sample)
-        if len(pending[shape]) == bs:
-            flush(shape)
-    for shape in list(pending):
-        flush(shape)
     drain(0)
     out = acc.result()
     if n > 0 and t0 is not None:
