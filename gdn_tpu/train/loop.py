@@ -18,7 +18,9 @@ import numpy as np
 from gdn_tpu import checkpoint as ckpt
 from gdn_tpu.config import Config
 from gdn_tpu.models import DtoDNet, RtoDNet
-from gdn_tpu.parallel.mesh import create_mesh, shard_batch
+from gdn_tpu.parallel.mesh import (
+    create_mesh, shard_batch, shard_stacked_batch,
+)
 from gdn_tpu.train.state import create_state
 from gdn_tpu.train.steps import (
     make_stage1_multistep,
@@ -58,11 +60,16 @@ def _epoch_loop(
     for i in range(n_calls):
         if steps_per_call == 1:
             batch = next(data_iter)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
         else:
             group = [next(data_iter) for _ in range(steps_per_call)]
             batch = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
-        if mesh is not None and steps_per_call == 1:
-            batch = shard_batch(batch, mesh)
+            if mesh is not None:
+                # Explicit (S, B_sharded, ...) placement: leaving it to
+                # jit's in_shardings would funnel one unsharded copy
+                # through device 0 on real multi-chip meshes.
+                batch = shard_stacked_batch(batch, mesh)
         state, terms = step_fn(state, *extra_args, batch)
         if i == 0:
             # restart the clock after the first step so jit compile time
