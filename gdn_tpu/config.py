@@ -53,6 +53,14 @@ class ModelConfig:
     # conv_transpose output-padding pitfalls flagged in SURVEY.md §7 and
     # checkerboard artifacts) or "deconv" (stride-2 conv_transpose).
     upsample: str = "resize_conv"
+    # GroupNorm+activation epilogue on the deconv upsample branch.
+    # Measured (round 3, BASELINE.md): costs ~9% step throughput (2494
+    # vs 2731 imgs/sec at B=128) and does NOT close the deconv
+    # convergence gap vs resize_conv (a1 0.785/0.858/0.843 over 3 seeds
+    # vs 0.921) — the round-2 "missing norm" confound hypothesis is
+    # answered negative.  Default off = the reference's own
+    # deconv+activation style.
+    deconv_gn: bool = False
     # Guidance fusion: how encoder-skip / guidance features enter the
     # decoder: "concat" (concat + conv) or "add".
     fusion: str = "concat"
@@ -73,6 +81,13 @@ class ModelConfig:
     # the round-2 profile; default off until TPU-measured (CLAUDE.md
     # gating policy).
     use_pallas_gn: bool = False
+    # Epilogue-fused conv3x3+GN+ELU kernel (kernels/conv_gn_elu.py):
+    # ONE op per ConvBlock instead of conv + 2 stat reduces + 2
+    # elementwise fusions, one HBM write instead of three feature-map
+    # round-trips.  Applies only to stride-1 lane-aligned blocks (the
+    # deep encoder refining convs); default off until TPU-measured
+    # (CLAUDE.md gating policy).
+    use_pallas_convgn: bool = False
 
     @property
     def num_scales(self) -> int:

@@ -32,7 +32,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gdn_tpu.kernels.fusion_block import _conv3x3_into, _groupnorm_elu, pad_lanes
+from gdn_tpu.kernels.fusion_block import (
+    _conv3x3_rolled, _groupnorm_elu, pad_lanes, tap_width,
+)
 
 # Conservative VMEM budget for scratch + transients (bytes).
 _VMEM_BUDGET = 12 * 1024 * 1024
@@ -40,13 +42,19 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 def fits_vmem(h: int, w: int, cin: int, cout: int) -> bool:
     """Working set of the fused kernel at input (h, w, cin), counting
-    the 128-lane channel padding."""
+    the 128-lane channel padding.  Rolled-conv form (round 3): input
+    block + bordered upsample scratch + fp32 accumulator + weights; the
+    per-tap transients of the unrolled form are gone."""
     cinp = -(-cin // 128) * 128
     coutp = -(-cout // 128) * 128
-    up = 2 * h * 2 * w
-    scratch = up * cinp + up * coutp        # u scratch + acc scratch
-    transients = up * cinp + up * coutp     # shifted patch + contrib
-    return (scratch + transients) * 4 < _VMEM_BUDGET
+    up_pad = (2 * h + 2) * (tap_width(2 * w) + 8)
+    work = (
+        h * w * cinp            # input block
+        + up_pad * cinp         # bordered upsample scratch
+        + 2 * h * tap_width(2 * w) * coutp  # accumulator
+        + 9 * cinp * coutp      # weights
+    )
+    return work * 4 < _VMEM_BUDGET
 
 
 def _upsample2x_clamp(x):
@@ -70,12 +78,23 @@ def _upsample_kernel(
     *, groups, eps, real_cout, tap_dtype,
 ):
     h, w = x_ref.shape[1], x_ref.shape[2]
-    u_ref[...] = _upsample2x_clamp(x_ref[0].astype(jnp.float32))
+    c = x_ref.shape[3]
+    up = _upsample2x_clamp(x_ref[0].astype(jnp.float32))  # (2H, 2W, C)
+    # Build the bordered/aligned map _conv3x3_rolled expects by value
+    # concatenation (Mosaic handles sublane-dim concats; static ref
+    # STORES of misaligned extents do not lower, so no partial stores).
+    wp_u = u_ref.shape[1]
+    zrow = jnp.zeros((1, 2 * w, c), jnp.float32)
+    up2 = jnp.concatenate([zrow, up, zrow], axis=0)  # (2H+2, 2W, C)
+    zl = jnp.zeros((2 * h + 2, 1, c), jnp.float32)
+    zr = jnp.zeros((2 * h + 2, wp_u - 2 * w - 1, c), jnp.float32)
+    u_ref[...] = jnp.concatenate([zl, up2, zr], axis=1)
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    _conv3x3_into(u_ref, w_ref, acc_ref, 2 * h, 2 * w, tap_dtype)
+    _conv3x3_rolled(u_ref, w_ref, acc_ref, 2 * h, acc_ref.shape[1], tap_dtype)
     out_ref[0] = _groupnorm_elu(
         acc_ref[...], scale_ref[0].astype(jnp.float32),
         bias_ref[0].astype(jnp.float32), groups, eps, real_cout,
+        real_w=2 * w,
     )
 
 
@@ -132,13 +151,17 @@ def fused_upsample_conv(
             pl.BlockSpec((1, coutp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 2 * h, 2 * wd, coutp), lambda i: (i, 0, 0, 0),
+            (1, 2 * h, tap_width(2 * wd), coutp), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, 2 * h, 2 * wd, coutp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, 2 * h, tap_width(2 * wd), coutp), jnp.float32
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2 * h, 2 * wd, cinp), jnp.float32),
-            pltpu.VMEM((2 * h, 2 * wd, coutp), jnp.float32),
+            pltpu.VMEM(
+                (2 * h + 2, tap_width(2 * wd) + 8, cinp), jnp.float32
+            ),
+            pltpu.VMEM((2 * h, tap_width(2 * wd), coutp), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -147,7 +170,7 @@ def fused_upsample_conv(
             transcendentals=b * 4 * h * wd * coutp,
         ),
     )(xp, wp, scalep, biasp)
-    return out[..., :cout]
+    return out[:, :, : 2 * wd, :cout]
 
 
 def _fuc_fwd(x, w, scale, bias, groups, eps, interpret, tap_dtype):

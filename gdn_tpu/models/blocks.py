@@ -60,6 +60,23 @@ def _group_norm_act(y, scale, bias, groups, cfg: ModelConfig):
     )
 
 
+class _ConvKernel(nn.Module):
+    """Bare conv-kernel parameter holder, named "Conv_0" by its caller
+    so the parameter tree stays bit-compatible with the previous
+    ``nn.Conv`` layout (same path ``.../Conv_0/kernel``, same
+    lecun_normal init) while the block owns the convolution call —
+    required to route the SAME weights through either XLA or the fused
+    Pallas kernel (checkpoints interchangeable across the flag)."""
+
+    shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
 class ConvBlock(nn.Module):
     """Conv(k,k) -> norm -> activation."""
 
@@ -70,30 +87,65 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            use_bias=self.cfg.norm == "none",
-            dtype=self.cfg.compute_dtype,
-            param_dtype=jnp.float32,
-        )(x)
-        if self.cfg.norm == "group":
-            # Own scale/bias + shared ops/groupnorm implementation (one
-            # GN code path repo-wide; stats fp32, elementwise stays in
-            # the compute dtype — the HBM-bound step's hot chain).
-            from gdn_tpu.ops.groupnorm import pick_groups
+        c = self.cfg
+        if c.norm != "group":
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding="SAME",
+                use_bias=True,
+                dtype=c.compute_dtype,
+                param_dtype=jnp.float32,
+            )(x)
+            return activation_fn(c.activation)(x)
 
-            groups = pick_groups(self.features, self.cfg.group_norm_groups)
-            scale = self.param(
-                "gn_scale", nn.initializers.ones, (self.features,), jnp.float32
+        # Own scale/bias + shared ops/groupnorm implementation (one
+        # GN code path repo-wide; stats fp32, elementwise stays in
+        # the compute dtype — the HBM-bound step's hot chain).
+        from gdn_tpu.ops.groupnorm import pick_groups
+
+        kernel = _ConvKernel(
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+            name="Conv_0",
+        )()
+        groups = pick_groups(self.features, c.group_norm_groups)
+        scale = self.param(
+            "gn_scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "gn_bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        use_fused = (
+            c.use_pallas
+            and c.use_pallas_convgn
+            and self.stride == 1
+            and self.kernel == 3
+            and c.activation == "elu"
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            from gdn_tpu.kernels.conv_gn_elu import supported
+
+            use_fused = supported(
+                x.shape[1], x.shape[2], x.shape[-1], self.features
             )
-            bias = self.param(
-                "gn_bias", nn.initializers.zeros, (self.features,), jnp.float32
+        if use_fused:
+            from gdn_tpu.kernels.conv_gn_elu import fused_conv_gn_elu
+
+            out = fused_conv_gn_elu(
+                x.astype(jnp.float32), kernel, scale, bias, groups,
+                1e-6, False, c.dtype,  # bf16 taps when model computes bf16
             )
-            return _group_norm_act(x, scale, bias, groups, self.cfg)
-        return activation_fn(self.cfg.activation)(x)
+            return out.astype(c.compute_dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(c.compute_dtype),
+            kernel.astype(c.compute_dtype),
+            (self.stride, self.stride),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return _group_norm_act(y, scale, bias, groups, c)
 
 
 class DownBlock(nn.Module):
@@ -161,6 +213,10 @@ class FusionBlock(nn.Module):
             and c.activation == "elu"
             and jax.default_backend() == "tpu"
         )
+        if use_fused:
+            from gdn_tpu.kernels.fusion_block import fits_vmem
+
+            use_fused = fits_vmem(x.shape[1], x.shape[2], cx, cl, cout)
         if use_fused:
             from gdn_tpu.kernels.fusion_block import fused_fusion_block
 
@@ -251,14 +307,36 @@ class UpBlock(nn.Module):
             x = resize_bilinear(x, target_hw)
             x = ConvBlock(self.features, kernel=3, cfg=self.cfg)(x)
         elif self.cfg.upsample == "deconv":
+            use_gn = self.cfg.norm == "group" and self.cfg.deconv_gn
             x = nn.ConvTranspose(
                 self.features, (4, 4), strides=(2, 2), padding="SAME",
+                use_bias=not use_gn,
                 dtype=self.cfg.compute_dtype, param_dtype=jnp.float32,
             )(x)
             # Exact-size guarantee regardless of parity of the input.
             if tuple(x.shape[1:3]) != tuple(target_hw):
                 x = resize_bilinear(x, target_hw)
-            x = activation_fn(self.cfg.activation)(x)
+            if use_gn:
+                # Same norm+act epilogue as the resize_conv branch —
+                # built to de-confound the round-2 convergence
+                # comparison; measured NOT to close the deconv gap
+                # (a1 0.785/0.858/0.843 over 3 seeds vs resize_conv's
+                # 0.920/0.921, BASELINE.md round 3) and costs ~9% step
+                # throughput, hence default off (cfg.deconv_gn).
+                from gdn_tpu.ops.groupnorm import pick_groups
+
+                groups = pick_groups(self.features, self.cfg.group_norm_groups)
+                scale = self.param(
+                    "deconv_gn_scale", nn.initializers.ones,
+                    (self.features,), jnp.float32,
+                )
+                bias = self.param(
+                    "deconv_gn_bias", nn.initializers.zeros,
+                    (self.features,), jnp.float32,
+                )
+                x = _group_norm_act(x, scale, bias, groups, self.cfg)
+            else:
+                x = activation_fn(self.cfg.activation)(x)
         else:
             raise ValueError(f"unknown upsample {self.cfg.upsample!r}")
         if lateral is not None:

@@ -299,3 +299,45 @@ def test_fits_vmem_gate():
 
     assert fits_vmem(16, 52, 256, 128)     # small decoder scale
     assert not fits_vmem(64, 208, 32, 32)  # large scale falls back
+
+
+def _convgn_data(rng, b=2, h=10, w=14, cin=16, cout=16):
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32))
+    w_ = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, cout).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=cout).astype(np.float32) * 0.1)
+    return x, w_, scale, bias
+
+
+def test_fused_conv_gn_elu_matches_reference(rng):
+    from gdn_tpu.kernels.conv_gn_elu import _reference, fused_conv_gn_elu
+
+    x, w_, scale, bias = _convgn_data(rng)
+    out = fused_conv_gn_elu(x, w_, scale, bias, 4, 1e-6, True)
+    ref = _reference(x, w_, scale, bias, 4, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_conv_gn_elu_gradients(rng):
+    from gdn_tpu.kernels.conv_gn_elu import _reference, fused_conv_gn_elu
+
+    x, w_, scale, bias = _convgn_data(rng, b=1, h=8, w=12)
+
+    def f_fused(x, w_, scale):
+        return jnp.sum(fused_conv_gn_elu(x, w_, scale, bias, 4, 1e-6, True) ** 2)
+
+    def f_ref(x, w_, scale):
+        return jnp.sum(_reference(x, w_, scale, bias, 4, 1e-6) ** 2)
+
+    gf = jax.grad(f_fused, argnums=(0, 1, 2))(x, w_, scale)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(x, w_, scale)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_conv_gn_elu_supported_gate():
+    from gdn_tpu.kernels.conv_gn_elu import supported
+
+    assert supported(32, 104, 128, 128)
+    assert not supported(32, 104, 64, 64)   # narrow lanes: padding tax
+    assert not supported(128, 416, 128, 128)  # VMEM blow-up per image
