@@ -141,3 +141,71 @@ def transfer_stage1_decoder(
     # same D-net tree is passed alongside as guidance params — aliased
     # buffers would trip XLA's donation check (`f(donate(a), a)`).
     return {**g_params, "decoder": jax.tree.map(jnp.copy, d_dec)}
+
+
+def params_from_torch(
+    params_template: Dict[str, Any],
+    state_dict: Dict[str, Any],
+    key_map: Optional[Dict[str, str]] = None,
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Import a torch ``state_dict`` into a flax parameter tree — the
+    migration path for users bringing the reference's ``.pth`` weights
+    (SURVEY.md §2.9: pretrained weights are how the reference ships its
+    models) into this framework.
+
+    Mapping rules:
+      - flax leaf path "a/b/c" matches torch key "a.b.c" after applying
+        ``key_map`` (exact-path overrides for renamed modules; the real
+        reference layer names are unrecoverable here — SURVEY.md §0 —
+        so the caller supplies the per-checkpoint map).
+      - 4-D conv weights convert torch OIHW -> flax HWIO; 4-D
+        conv_transpose weights (torch IOHW) are not auto-detected —
+        map them explicitly through ``key_map`` and pre-permute.
+      - 1-D/2-D tensors copy as-is (biases, norm scales, linear kernels
+        transpose is the caller's responsibility via key_map).
+      - With ``strict`` every template leaf must be matched; otherwise
+        unmatched leaves keep their template values (partial import).
+
+    Returns a new tree shaped exactly like ``params_template``.
+    """
+    import numpy as np
+
+    def to_np(v):
+        # torch tensor / numpy array / array-like, no torch import needed
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v, dtype=np.float32)
+
+    sd = {k: v for k, v in state_dict.items()}
+    key_map = key_map or {}
+    missing = []
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            return {k: walk(v, f"{prefix}/{k}" if prefix else k)
+                    for k, v in node.items()}
+        tkey = key_map.get(prefix, prefix.replace("/", "."))
+        if tkey not in sd:
+            missing.append(prefix)
+            return node
+        arr = to_np(sd[tkey])
+        want = tuple(node.shape)
+        if arr.ndim == 4 and arr.shape != want:
+            hwio = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
+            if hwio.shape == want:
+                arr = hwio
+        if arr.shape != want:
+            raise ValueError(
+                f"shape mismatch importing {tkey!r} -> {prefix!r}: "
+                f"{arr.shape} vs {want}"
+            )
+        return jnp.asarray(arr)
+
+    out = walk(params_template, "")
+    if strict and missing:
+        raise KeyError(
+            f"torch state_dict is missing {len(missing)} template leaves, "
+            f"first: {missing[:5]} (pass strict=False for partial import "
+            f"or extend key_map)"
+        )
+    return out

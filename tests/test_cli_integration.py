@@ -118,3 +118,53 @@ def test_demo_cli(trained_ckpts, tmp_path):
     written = [l for l in out.stdout.splitlines() if l.strip()]
     assert written and os.path.exists(written[-1])
     assert any(os.scandir(out_dir))
+
+
+def test_import_torch_cli(tmp_path):
+    """scripts/import_torch.py converts a torch state_dict into a
+    loadable stage-1 orbax checkpoint (migration path for reference
+    users' .pth weights)."""
+    import torch
+
+    sys.path.insert(0, REPO)
+    import jax
+    import jax.numpy as jnp
+    from gdn_tpu.config import kitti_config
+    from gdn_tpu.models import DtoDNet
+    from gdn_tpu.train import create_state
+
+    cfg = kitti_config(**{"model.image_size": (32, 64),
+                          "train.ckpt_dir": ""})
+    state = create_state(DtoDNet(cfg=cfg.model), (1, 32, 64, 1),
+                         cfg.train, 1)
+    sd = {}
+
+    def flatten(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                flatten(v, f"{prefix}.{k}" if prefix else k)
+        else:
+            arr = np.asarray(node)
+            if arr.ndim == 4:
+                arr = np.transpose(arr, (3, 2, 0, 1))
+            sd[prefix] = torch.from_numpy(arr.copy())
+
+    flatten(state.params, "")
+    pth = str(tmp_path / "weights.pth")
+    torch.save(sd, pth)
+    model_dir = str(tmp_path / "ckpt")
+    out = _run("import_torch.py", "--pth", pth, "--stage", "1",
+               "--model_dir", model_dir, *COMMON)
+    assert "imported" in out.stdout
+    assert os.path.isdir(os.path.join(model_dir, "stage1"))
+    # the converted checkpoint round-trips through the normal loader
+    from gdn_tpu import checkpoint as ckpt
+
+    params = ckpt.load_params(os.path.join(model_dir, "stage1"),
+                              state.params)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(state.params)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(kp))

@@ -131,3 +131,44 @@ def test_model_is_jittable_and_differentiable():
     flat = [np.asarray(l) for l in jax.tree.leaves(g)]
     assert all(np.all(np.isfinite(a)) for a in flat)
     assert any(np.abs(a).sum() > 0 for a in flat)
+
+
+TINY_MC = ModelConfig(
+    image_size=(16, 32), enc_channels=(8, 16), dec_channels=(16, 8),
+    dtype="float32",
+)
+
+
+def test_convblock_param_tree_layout_stable():
+    """Checkpoint-compat regression: the round-3 ConvBlock restructure
+    (owned kernel param routed through XLA or the fused Pallas kernel)
+    must keep the historical tree layout .../Conv_0/kernel +
+    gn_scale/gn_bias — round-2 checkpoints restore against it."""
+    m = DtoDNet(cfg=TINY_MC)
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 32, 1)))["params"]
+    stem = p["encoder"]["stem"]
+    assert set(stem.keys()) == {"Conv_0", "gn_scale", "gn_bias"}
+    assert set(stem["Conv_0"].keys()) == {"kernel"}
+    assert stem["Conv_0"]["kernel"].shape == (7, 7, 1, 8)
+    down = p["encoder"]["down0"]["ConvBlock_0"]
+    assert set(down.keys()) == {"Conv_0", "gn_scale", "gn_bias"}
+
+
+def test_deconv_gn_variant_forward_and_tree():
+    """deconv_gn adds the GN epilogue params to UpBlocks and keeps the
+    default (off) tree free of them (round-2 deconv ckpt compat)."""
+    import dataclasses
+
+    base = dataclasses.replace(TINY_MC, upsample="deconv")
+    withgn = dataclasses.replace(base, deconv_gn=True)
+    x = jnp.ones((1, 16, 32, 1))
+    for cfg, has_gn in ((base, False), (withgn, True)):
+        m = DtoDNet(cfg=cfg)
+        p = m.init(jax.random.PRNGKey(0), x)["params"]
+        up0 = p["decoder"]["up0"]
+        assert ("deconv_gn_scale" in up0) == has_gn
+        # ConvTranspose bias present exactly when the GN epilogue is off
+        assert ("bias" in up0["ConvTranspose_0"]) == (not has_gn)
+        out = m.apply({"params": p}, x)
+        assert out["depth"].shape == (1, 16, 32, 1)
+        assert np.isfinite(np.asarray(out["depth"])).all()

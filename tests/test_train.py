@@ -562,3 +562,57 @@ def test_shard_stacked_batch_placement():
     # non-divisible batch axis fails loudly
     with pytest.raises(AssertionError, match="not divisible"):
         shard_stacked_batch({"x": np.ones((2, 3, 4), np.float32)}, mesh)
+
+
+def test_params_from_torch_import():
+    """Torch .pth migration path (checkpoint.params_from_torch): a
+    state_dict with torch naming (dots) and OIHW conv layout imports
+    bit-exactly into the flax tree; strict mode flags missing keys."""
+    import dataclasses
+
+    from gdn_tpu.checkpoint import params_from_torch
+    from gdn_tpu.models import DtoDNet
+
+    mc = dataclasses.replace(TINY.model)
+    model = DtoDNet(cfg=mc)
+    h, w = mc.image_size
+    ref = model.init(jax.random.PRNGKey(3), jnp.zeros((1, h, w, 1)))["params"]
+
+    # build a torch-style state_dict from a DIFFERENT init
+    src = model.init(jax.random.PRNGKey(4), jnp.zeros((1, h, w, 1)))["params"]
+    sd = {}
+
+    def flatten(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                flatten(v, f"{prefix}.{k}" if prefix else k)
+        else:
+            arr = np.asarray(node)
+            if arr.ndim == 4:
+                arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+            sd[prefix] = arr
+
+    flatten(src, "")
+    imported = params_from_torch(ref, sd)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(imported)[0],
+        jax.tree_util.tree_flatten_with_path(src)[0],
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(kp))
+
+    # forward through imported params == forward through source params
+    x = jnp.ones((1, h, w, 1))
+    o1 = model.apply({"params": imported}, x)["depth"]
+    o2 = model.apply({"params": src}, x)["depth"]
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    # strict mode catches missing keys; partial import keeps template
+    sd2 = dict(sd)
+    removed = sorted(sd2)[0]
+    del sd2[removed]
+    with pytest.raises(KeyError, match="missing"):
+        params_from_torch(ref, sd2)
+    partial = params_from_torch(ref, sd2, strict=False)
+    assert np.isfinite(
+        np.asarray(model.apply({"params": partial}, x)["depth"])
+    ).all()
