@@ -77,6 +77,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint of this stage")
+    p.add_argument("--loader", choices=["native", "grain"], default="native",
+                   help="KITTI host loader: threaded native decode or the "
+                        "grain index-sampled pipeline (checkpointable "
+                        "iterator, worker processes)")
     p.add_argument("--val_pairs_list", type=str, default="",
                    help="optional held-out list (train pair format) for "
                         "per-epoch validation loss")
@@ -140,6 +144,7 @@ def build_config(args: argparse.Namespace) -> Config:
             "train.decay_gamma": args.decay_gamma,
             "train.steps_per_epoch": args.steps_per_epoch,
             "train.steps_per_call": args.steps_per_call,
+            "data.loader": args.loader,
             "train.freeze_decoder": not args.no_freeze_decoder,
             "train.log_every": args.log_every,
             "mesh.num_devices": args.num_devices,

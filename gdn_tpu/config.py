@@ -139,6 +139,11 @@ class DataConfig:
     val_list: str = "val.txt"
     batch_size: int = 32  # global batch (split across the mesh)
     num_workers: int = 4
+    # Host loader implementation for KITTI training: "native" (threaded
+    # C++/PIL decode, data/kitti.py) or "grain" (index-sampled grain
+    # pipeline with worker processes and checkpointable iterator state,
+    # data/grain_loader.py — the SURVEY §2.1 grain host-decode plan).
+    loader: str = "native"
     # On-device augmentation (jitted; SURVEY.md §2.1 TPU-native plan).
     random_flip: bool = True
     random_crop: bool = True

@@ -1,0 +1,155 @@
+"""Grain-based host input pipeline (SURVEY.md §2.1 TPU-native plan:
+"decode on host via grain/tf.data, then ... jitted JAX ops on device").
+
+An alternative to the thread/native-C++ loaders in data/kitti.py —
+grain gives deterministic index-based sampling, multiprocess decode
+workers, and ITERATOR CHECKPOINTING (get_state/set_state), which is
+the strongest form of the data-order-resume contract
+(data/batching.SeekableLoaderMixin): the exact mid-epoch cursor
+round-trips through the orbax payload as a small JSON blob.
+
+The loader yields the same host batches as KittiTrainDataset
+({'rgb' (B,H,W,3), 'depth' (B,H,W,1), 'mask' (B,H,W,1)}), so it drops
+into make_train_pipeline / the trainers unchanged.  Select it with
+``DataConfig.loader = "grain"``.
+
+NOTE on workers: this container has ONE cpu, so worker_count defaults
+to 0 (in-process); on real hosts raise DataConfig.num_workers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class _PairSource:
+    """grain RandomAccessDataSource over '<rgb> <depth>' list entries;
+    decodes one UNBATCHED sample per index (grain batches downstream)."""
+
+    def __init__(self, data_path: str, entries, size: Tuple[int, int],
+                 max_depth: float):
+        self.data_path = data_path
+        self.entries = entries
+        self.size = size
+        self.max_depth = max_depth
+
+    def __repr__(self) -> str:
+        # Stable across instances: grain validates repr(data_source) on
+        # set_state, and the default repr embeds the object address.
+        return (
+            f"_PairSource(path={self.data_path!r}, n={len(self.entries)}, "
+            f"size={tuple(self.size)}, max_depth={self.max_depth})"
+        )
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        from gdn_tpu.data.kitti import load_depth, load_rgb
+
+        rgb_rel, d_rel = self.entries[i]
+        rgb = load_rgb(os.path.join(self.data_path, rgb_rel), self.size)
+        depth = load_depth(os.path.join(self.data_path, d_rel), self.size)
+        depth = depth[..., None]
+        mask = ((depth > 0.0) & (depth < self.max_depth)).astype(np.float32)
+        return {
+            "rgb": rgb,
+            "depth": np.clip(depth, 0.0, self.max_depth).astype(np.float32),
+            "mask": mask,
+        }
+
+
+class GrainKittiDataset:
+    """KITTI train loader on grain: deterministic shuffled sampling,
+    optional worker processes, checkpointable iterator.
+
+    Interface parity with KittiTrainDataset: iterate for batches;
+    ``state_dict()`` / ``load_state_dict()`` capture/restore the exact
+    stream position (finer than seek(n): grain tracks per-index state).
+    ``seek(n)`` is provided for the shared resume contract and is
+    implemented via grain's native state (no decoding replay).
+    """
+
+    def __init__(
+        self,
+        data_path: str,
+        list_file: str,
+        size: Tuple[int, int] = (128, 416),
+        batch_size: int = 32,
+        shuffle: bool = True,
+        seed: int = 0,
+        max_depth: float = 80.0,
+        num_epochs: Optional[int] = None,
+        worker_count: int = 0,
+    ):
+        import grain.python as pg
+
+        from gdn_tpu.data.kitti import parse_list
+
+        entries = parse_list(os.path.join(data_path, list_file))
+        if not entries:
+            raise ValueError(f"empty list file {list_file}")
+        for e in entries:
+            if len(e) != 2:
+                raise ValueError(
+                    f"train list lines must be '<rgb> <depth>', got {e!r}"
+                )
+        self.batch_size = batch_size
+        self._source = _PairSource(data_path, entries, size, max_depth)
+        self._loader = pg.DataLoader(
+            data_source=self._source,
+            sampler=pg.IndexSampler(
+                num_records=len(entries),
+                shuffle=shuffle,
+                seed=seed,
+                num_epochs=num_epochs,
+                shard_options=pg.NoSharding(),
+            ),
+            operations=[pg.Batch(batch_size, drop_remainder=True)],
+            worker_count=worker_count,
+        )
+        self._it = None
+
+    def __len__(self) -> int:
+        return len(self._source)
+
+    def _iterator(self):
+        if self._it is None:
+            self._it = iter(self._loader)
+        return self._it
+
+    # -- checkpointable stream position ---------------------------------
+    def state_dict(self) -> str:
+        """JSON state of the stream position (grain get_state; bytes in
+        grain 0.2.x) — small enough to ride in the orbax payload."""
+        return self._iterator().get_state().decode()
+
+    def load_state_dict(self, state: str) -> None:
+        self._iterator().set_state(state.encode())
+
+    def seek(self, n_batches: int) -> None:
+        """Shared resume contract (SeekableLoaderMixin): position the
+        stream at batch ``n_batches`` by advancing grain's index state —
+        sampling only, no image decode.  Supports worker_count=0 (one
+        index stream); multiprocess loaders should round-trip
+        state_dict()/load_state_dict() instead."""
+        obj = json.loads(self._iterator().get_state().decode())
+        last = obj.get("last_seen_indices")
+        if last is None or len(last) != 1:
+            raise NotImplementedError(
+                "seek() supports worker_count=0; use state_dict()/"
+                "load_state_dict() for multiprocess loaders"
+            )
+        # worker 0 sees consecutive indices; batch n starts at record
+        # n*batch_size, so the last seen index is one before that.
+        key = next(iter(last))
+        obj["last_seen_indices"][key] = n_batches * self.batch_size - 1
+        self._iterator().set_state(json.dumps(obj).encode())
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for batch in self._iterator():
+            yield batch

@@ -107,6 +107,15 @@ def make_loader(cfg: Config, split: str = "train"):
         from gdn_tpu.data.kitti import KittiEvalDataset, KittiTrainDataset
 
         if split == "train":
+            if d.loader == "grain":
+                from gdn_tpu.data.grain_loader import GrainKittiDataset
+
+                return GrainKittiDataset(
+                    d.data_path, d.train_list, (h, w), d.batch_size,
+                    seed=cfg.train.seed, max_depth=cfg.model.max_depth,
+                    worker_count=max(0, d.num_workers - 1)
+                    if d.num_workers > 1 else 0,
+                )
             return KittiTrainDataset(
                 d.data_path, d.train_list, (h, w), d.batch_size,
                 max_depth=cfg.model.max_depth,

@@ -448,3 +448,80 @@ def test_pipeline_skip_fastforwards_augmentation():
     resumed_pipe = make_train_pipeline(cfg, loader, augment=True, skip=3)
     for want in reference[3:]:
         np.testing.assert_array_equal(np.asarray(next(resumed_pipe)["rgb"]), want)
+
+
+def test_grain_loader_batches_and_determinism(kitti_fixture):
+    """GrainKittiDataset (SURVEY §2.1 grain host-decode plan) yields the
+    KittiTrainDataset batch contract, deterministically per seed."""
+    from gdn_tpu.data.grain_loader import GrainKittiDataset
+
+    mk = lambda: GrainKittiDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=2, seed=7
+    )
+    a, b = mk(), mk()
+    ita, itb = iter(a), iter(b)
+    for _ in range(4):  # crosses an epoch boundary (6 imgs / bs 2)
+        ba, bb = next(ita), next(itb)
+        assert set(ba) == {"rgb", "depth", "mask"}
+        assert ba["rgb"].shape == (2, 128, 416, 3)
+        assert ba["depth"].shape == (2, 128, 416, 1)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_grain_loader_matches_native_decode(kitti_fixture):
+    """Same decode semantics as the native loader: with shuffle off the
+    first batch must be bit-equal to KittiTrainDataset's (PIL path)."""
+    from gdn_tpu.data.grain_loader import GrainKittiDataset
+
+    g = GrainKittiDataset(kitti_fixture, "train.txt", (128, 416),
+                          batch_size=3, shuffle=False)
+    n = KittiTrainDataset(kitti_fixture, "train.txt", (128, 416),
+                          batch_size=3, shuffle=False, use_native=False)
+    bg, bn = next(iter(g)), next(iter(n))
+    for k in ("rgb", "depth", "mask"):
+        np.testing.assert_array_equal(bg[k], bn[k], err_msg=k)
+
+
+def test_grain_loader_seek_and_state_roundtrip(kitti_fixture):
+    from gdn_tpu.data.grain_loader import GrainKittiDataset
+
+    mk = lambda: GrainKittiDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=2, seed=7
+    )
+    ref_it = iter(mk())
+    reference = [next(ref_it) for _ in range(5)]
+
+    seeked = mk()
+    seeked.seek(2)
+    it2 = iter(seeked)
+    for want in reference[2:4]:
+        got = next(it2)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+
+    # state_dict/load_state_dict: capture mid-stream, restore elsewhere
+    src = mk()
+    it3 = iter(src)
+    next(it3), next(it3), next(it3)
+    state = src.state_dict()
+    dst = mk()
+    dst.load_state_dict(state)
+    got = next(iter(dst))
+    for k in got:
+        np.testing.assert_array_equal(got[k], reference[3][k])
+
+
+def test_make_loader_grain_selection(kitti_fixture):
+    import dataclasses
+    from gdn_tpu.config import kitti_config
+    from gdn_tpu.data.grain_loader import GrainKittiDataset
+    from gdn_tpu.data.pipeline import make_loader
+
+    cfg = kitti_config(**{"data.data_path": kitti_fixture,
+                          "data.loader": "grain",
+                          "data.batch_size": 2})
+    ds = make_loader(cfg, "train")
+    assert isinstance(ds, GrainKittiDataset)
+    b = next(iter(ds))
+    assert b["rgb"].shape == (2, 128, 416, 3)
