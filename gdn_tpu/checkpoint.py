@@ -190,10 +190,12 @@ def params_from_torch(
             return node
         arr = to_np(sd[tkey])
         want = tuple(node.shape)
-        if arr.ndim == 4 and arr.shape != want:
-            hwio = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
-            if hwio.shape == want:
-                arr = hwio
+        if arr.ndim == 4:
+            # torch 4-D conv weights are ALWAYS OIHW; permute
+            # unconditionally (a square conv with O==I==kh==kw would
+            # otherwise silently import in the wrong layout).  Sources
+            # already in HWIO must pre-permute via key_map handling.
+            arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
         if arr.shape != want:
             raise ValueError(
                 f"shape mismatch importing {tkey!r} -> {prefix!r}: "

@@ -31,9 +31,15 @@ def prefetch_to_device(
     mesh=None,
 ) -> Iterator[Dict[str, Any]]:
     """Background-thread prefetch; batches arrive already on device
-    (sharded over `mesh` when given)."""
+    (sharded over `mesh` when given).
+
+    Cancellation-safe: a consumer that abandons the generator (early
+    exit, exception upstream) releases the producer via ``stop`` —
+    otherwise the thread would block forever on the full queue, pinning
+    device-resident batches for the process lifetime."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    stop = threading.Event()
     err: list = []
 
     def producer():
@@ -43,21 +49,41 @@ def prefetch_to_device(
                     batch = shard_batch(batch, mesh)
                 else:
                     batch = jax.device_put(batch)
-                q.put(batch)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except Exception as e:  # propagate to consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def make_train_pipeline(
@@ -103,6 +129,11 @@ def make_loader(cfg: Config, split: str = "train"):
             batch_size=d.batch_size, height=h, width=w,
             max_depth=cfg.model.max_depth, seed=cfg.train.seed,
         )
+    if d.loader == "grain" and d.dataset != "kitti":
+        raise ValueError(
+            "--loader grain is implemented for --dataset kitti only "
+            f"(got {d.dataset!r}); the native loader covers the rest"
+        )
     if d.dataset == "kitti":
         from gdn_tpu.data.kitti import KittiEvalDataset, KittiTrainDataset
 
@@ -110,15 +141,18 @@ def make_loader(cfg: Config, split: str = "train"):
             if d.loader == "grain":
                 from gdn_tpu.data.grain_loader import GrainKittiDataset
 
+                # worker_count=0 (in-process): the exact-seek resume
+                # contract (scripts/train.py --resume) needs the single
+                # index stream; multiprocess loading is available
+                # programmatically together with state_dict() restore.
                 return GrainKittiDataset(
                     d.data_path, d.train_list, (h, w), d.batch_size,
                     seed=cfg.train.seed, max_depth=cfg.model.max_depth,
-                    worker_count=max(0, d.num_workers - 1)
-                    if d.num_workers > 1 else 0,
+                    worker_count=0,
                 )
             return KittiTrainDataset(
                 d.data_path, d.train_list, (h, w), d.batch_size,
-                max_depth=cfg.model.max_depth,
+                seed=cfg.train.seed, max_depth=cfg.model.max_depth,
             )
         return KittiEvalDataset(d.data_path, d.val_list, (h, w))
     if d.dataset == "nyu":
@@ -127,7 +161,7 @@ def make_loader(cfg: Config, split: str = "train"):
         if split == "train":
             return NyuTrainDataset(
                 d.data_path, d.train_list, (h, w), d.batch_size,
-                max_depth=cfg.model.max_depth,
+                seed=cfg.train.seed, max_depth=cfg.model.max_depth,
             )
         return NyuEvalDataset(d.data_path, d.val_list, (h, w))
     raise ValueError(f"unknown dataset {d.dataset!r}")

@@ -111,28 +111,54 @@ def _prefetch(iterator, size: int = 2):
     the consumer (jax.device_put is async; the transfer overlaps the
     in-flight eval steps).  The raw-res GT is the big tensor here —
     uploading it synchronously serialized the whole harness before
-    (VERDICT r2 weak item 5)."""
+    (VERDICT r2 weak item 5).
+
+    Cancellation-safe: if the consumer abandons the generator (early
+    exit / exception upstream), the producer observes ``stop`` instead
+    of blocking forever on a full queue holding device buffers."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
+    stop = threading.Event()
     err: list = []
 
     def producer():
         try:
             for shape, rgb, gt, n_real in iterator:
-                q.put((shape, jax.device_put(rgb), jax.device_put(gt), n_real))
+                item = (shape, jax.device_put(rgb), jax.device_put(gt), n_real)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except Exception as e:
             err.append(e)
         finally:
-            q.put(sentinel)
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def evaluate(

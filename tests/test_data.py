@@ -525,3 +525,48 @@ def test_make_loader_grain_selection(kitti_fixture):
     assert isinstance(ds, GrainKittiDataset)
     b = next(iter(ds))
     assert b["rgb"].shape == (2, 128, 416, 3)
+
+
+def test_prefetch_releases_producer_on_abandon():
+    """Cancellation safety (round-3 review): closing the consumer
+    generator must release the producer thread instead of leaving it
+    blocked on the full queue holding device batches."""
+    import time
+
+    from gdn_tpu.data.pipeline import prefetch_to_device
+
+    count = [0]
+
+    def gen():
+        while True:
+            count[0] += 1
+            yield {"x": np.ones((2, 2), np.float32)}
+
+    it = prefetch_to_device(gen(), size=1)
+    next(it)
+    it.close()  # abandon the generator
+    time.sleep(0.1)
+    seen = count[0]
+    time.sleep(0.8)  # > the producer's 0.2 s stop-poll
+    assert count[0] <= seen + 2, "producer kept consuming after abandon"
+
+
+def test_make_loader_grain_nyu_rejected():
+    from gdn_tpu.config import nyu_config
+    from gdn_tpu.data.pipeline import make_loader
+
+    cfg = nyu_config(**{"data.loader": "grain"})
+    with pytest.raises(ValueError, match="kitti only"):
+        make_loader(cfg, "train")
+
+
+def test_make_loader_passes_train_seed(kitti_fixture):
+    """--seed must control the data order (round-3 review: the native
+    branch silently pinned seed=0)."""
+    from gdn_tpu.config import kitti_config
+    from gdn_tpu.data.pipeline import make_loader
+
+    cfg = kitti_config(**{"data.data_path": kitti_fixture,
+                          "train.seed": 11, "data.batch_size": 2})
+    ds = make_loader(cfg, "train")
+    assert ds._seed == 11

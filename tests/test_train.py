@@ -616,3 +616,16 @@ def test_params_from_torch_import():
     assert np.isfinite(
         np.asarray(model.apply({"params": partial}, x)["depth"])
     ).all()
+
+
+def test_params_from_torch_always_permutes_square_convs():
+    """Round-3 review fix: a square conv (O==I==kh==kw) has an
+    ambiguous shape; 4-D torch tensors must be permuted OIHW->HWIO
+    unconditionally, never passed through."""
+    from gdn_tpu.checkpoint import params_from_torch
+
+    hwio = np.arange(3 * 3 * 3 * 3, dtype=np.float32).reshape(3, 3, 3, 3)
+    template = {"conv": {"kernel": jnp.asarray(hwio)}}
+    oihw = np.transpose(hwio, (3, 2, 0, 1))
+    out = params_from_torch(template, {"conv.kernel": oihw})
+    np.testing.assert_array_equal(np.asarray(out["conv"]["kernel"]), hwio)
