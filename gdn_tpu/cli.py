@@ -107,6 +107,10 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--save_preds", type=str, default="",
                    help="also save per-image predicted depth (.npy, train "
                         "resolution) into this directory")
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="data-parallel eval over this many chips "
+                        "(1 = single device; 0 = all; eval_batch must "
+                        "divide the mesh size)")
 
 
 def build_config(args: argparse.Namespace) -> Config:
@@ -161,4 +165,6 @@ def build_config(args: argparse.Namespace) -> Config:
             over["eval.median_scaling"] = True
         if getattr(args, "eval_batch", None):
             over["eval.batch_size"] = args.eval_batch
+        if hasattr(args, "num_devices"):
+            over["mesh.num_devices"] = args.num_devices
     return _with(cfg, **over)

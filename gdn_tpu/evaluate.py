@@ -39,11 +39,17 @@ def make_eval_step(
     forward: Callable[[Any, jnp.ndarray], jnp.ndarray],
     gt_shape: Tuple[int, int],
     return_preds: bool = False,
+    mesh=None,
 ):
     """Jitted: (params, rgb (B,H,W,3), gt (B,Hg,Wg)) -> stacked
     (n_metrics, B) per-image metrics [+ train-res predictions when
     ``return_preds``] (protocol metrics stay per-image; the batch only
-    amortizes dispatch + fills the chip)."""
+    amortizes dispatch + fills the chip).
+
+    With ``mesh``, the step is data-parallel (SURVEY §2.7 x §2.10):
+    params replicated, the batch sharded on "data", per-image metric
+    columns computed on the owning chip — the eval-split throughput
+    scales with the mesh.  cfg.eval.batch_size must divide mesh.size."""
     crop = jnp.asarray(M.crop_mask(gt_shape[0], gt_shape[1], cfg.eval.crop))
 
     def one(pred_small, gt2):
@@ -58,7 +64,6 @@ def make_eval_step(
             )
         return M.compute_errors(gt_, pred_, mask)
 
-    @jax.jit
     def step(params, rgb, gt):
         pred = forward(params, rgb)[..., 0]  # (B, H, W) train res
         per_image = jax.vmap(one)(pred, gt)
@@ -68,7 +73,19 @@ def make_eval_step(
         stacked = jnp.stack([per_image[k] for k in M.METRIC_NAMES])
         return (stacked, pred) if return_preds else stacked
 
-    return step
+    if mesh is None:
+        return jax.jit(step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gdn_tpu.parallel.mesh import batch_sharding, replicated
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    cols = NamedSharding(mesh, P(None, "data"))  # (n_metrics, B)
+    out_sh = (cols, data) if return_preds else cols
+    return jax.jit(
+        step, in_shardings=(rep, data, data), out_shardings=out_sh
+    )
 
 
 def _batch_iter(
@@ -106,7 +123,7 @@ def _batch_iter(
         yield (shape, *assemble(pending.pop(shape)))
 
 
-def _prefetch(iterator, size: int = 2):
+def _prefetch(iterator, size: int = 2, sharding=None):
     """Background thread that uploads host batches to device ahead of
     the consumer (jax.device_put is async; the transfer overlaps the
     in-flight eval steps).  The raw-res GT is the big tensor here —
@@ -124,7 +141,8 @@ def _prefetch(iterator, size: int = 2):
     def producer():
         try:
             for shape, rgb, gt, n_real in iterator:
-                item = (shape, jax.device_put(rgb), jax.device_put(gt), n_real)
+                item = (shape, jax.device_put(rgb, sharding),
+                        jax.device_put(gt, sharding), n_real)
                 while not stop.is_set():
                     try:
                         q.put(item, timeout=0.2)
@@ -169,6 +187,7 @@ def evaluate(
     max_images: Optional[int] = None,
     verbose: bool = True,
     save_preds: Optional[str] = None,
+    mesh=None,
 ) -> Dict[str, float]:
     """Run the eval split; returns the metric table (+ 'fps').
 
@@ -176,10 +195,20 @@ def evaluate(
     'gt' (1,Hg,Wg) raw-resolution GT depth.  Samples are grouped into
     batches of ``cfg.eval.batch_size`` per GT resolution; batches are
     uploaded by a background prefetch thread and dispatched 2 deep.
+    With ``mesh``, each batch is sharded over the data axis and the
+    eval step runs data-parallel (metrics stay per-image).
     """
     acc = M.MetricAccumulator()
     steps = {}
     bs = max(1, cfg.eval.batch_size)
+    sharding = None
+    if mesh is not None:
+        from gdn_tpu.parallel.mesh import batch_sharding
+
+        assert bs % mesh.size == 0, (
+            f"eval.batch_size {bs} must divide mesh size {mesh.size}"
+        )
+        sharding = batch_sharding(mesh)
     n = 0
     n_saved = 0
     t0 = None
@@ -212,11 +241,12 @@ def evaluate(
                     n_saved += 1
 
     for shape, rgb, gt, n_real in _prefetch(
-        _batch_iter(dataset, bs, max_images)
+        _batch_iter(dataset, bs, max_images), sharding=sharding
     ):
         if shape not in steps:
             steps[shape] = make_eval_step(
-                cfg, forward, shape, return_preds=bool(save_preds)
+                cfg, forward, shape, return_preds=bool(save_preds),
+                mesh=mesh,
             )
             # Warm up compile before timing fps (fetch to force
             # completion; block_until_ready can return early through

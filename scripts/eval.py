@@ -70,9 +70,15 @@ def main():
             f"{cfg.train.ckpt_dir}/stage2", template.params
         )
         forward = make_eval_forward(cfg)
+    mesh = None
+    if args.num_devices != 1:
+        from gdn_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(cfg.mesh.num_devices)
+        print(f"data-parallel eval over {mesh.size} devices")
     results = evaluate(
         cfg, params, forward, dataset, max_images=args.max_images,
-        save_preds=args.save_preds or None,
+        save_preds=args.save_preds or None, mesh=mesh,
     )
     print(
         " ".join(

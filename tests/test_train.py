@@ -629,3 +629,39 @@ def test_params_from_torch_always_permutes_square_convs():
     oihw = np.transpose(hwio, (3, 2, 0, 1))
     out = params_from_torch(template, {"conv.kernel": oihw})
     np.testing.assert_array_equal(np.asarray(out["conv"]["kernel"]), hwio)
+
+
+def test_eval_on_mesh_matches_single_device(d_state):
+    """Data-parallel eval (evaluate(mesh=...)) must produce identical
+    metrics to the single-device harness, including the padded final
+    partial batch (SURVEY §2.7 x §2.10)."""
+    from gdn_tpu.config import EvalConfig
+    from gdn_tpu.evaluate import evaluate
+    from gdn_tpu.parallel.mesh import create_mesh
+
+    g_model = RtoDNet(cfg=TINY.model)
+    g_state = create_state(g_model, (1, 32, 64, 3), TINY.train, 10)
+    fwd = make_eval_forward(TINY, g_model)
+
+    def eval_ds():
+        rng = np.random.default_rng(0)
+        for i in range(11):  # batch 8 + padded partial batch of 3
+            b = _batch(300 + i, b=1)
+            gt = rng.uniform(1, 79, (1, 96, 192)).astype(np.float32)
+            yield {"rgb": np.asarray(b["rgb"]), "gt": gt}
+
+    cfg = Config(model=TINY.model, eval=EvalConfig(batch_size=8),
+                 train=TINY.train)
+    single = evaluate(cfg, g_state.params, fwd, eval_ds(), verbose=False)
+    mesh = create_mesh(8)
+    meshed = evaluate(cfg, g_state.params, fwd, eval_ds(), verbose=False,
+                      mesh=mesh)
+    for k in ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"):
+        assert single[k] == pytest.approx(meshed[k], rel=1e-5), k
+
+    # batch size must divide the mesh
+    bad = Config(model=TINY.model, eval=EvalConfig(batch_size=6),
+                 train=TINY.train)
+    with pytest.raises(AssertionError, match="divide"):
+        evaluate(bad, g_state.params, fwd, eval_ds(), verbose=False,
+                 mesh=mesh)
