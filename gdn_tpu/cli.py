@@ -77,6 +77,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint of this stage")
+    p.add_argument("--multiscale", action="store_true",
+                   help="emit + supervise depth at every decoder scale "
+                        "(DispNet-style multi-scale heads; "
+                        "LossConfig.w_scales weights the term)")
     p.add_argument("--loader", choices=["native", "grain"], default="native",
                    help="KITTI host loader: threaded native decode or the "
                         "grain index-sampled pipeline (checkpointable "
@@ -132,6 +136,8 @@ def build_config(args: argparse.Namespace) -> Config:
         model = dataclasses.replace(model, max_depth=args.max_depth)
     if getattr(args, "upsample", None):
         model = dataclasses.replace(model, upsample=args.upsample)
+    if getattr(args, "multiscale", False):
+        model = dataclasses.replace(model, multiscale_heads=True)
     if getattr(args, "no_pallas", False):
         model = dataclasses.replace(model, use_pallas=False)
         over["loss.use_pallas"] = False

@@ -64,6 +64,12 @@ class ModelConfig:
     # Guidance fusion: how encoder-skip / guidance features enter the
     # decoder: "concat" (concat + conv) or "add".
     fusion: str = "concat"
+    # Multi-scale depth heads: emit a depth prediction at every decoder
+    # scale (coarse->fine) for multi-scale supervision (SURVEY §2.3
+    # "possibly multi-scale outputs" — the DispNet-style scheme the
+    # reference family trains with).  Off by default: the single-head
+    # parameter tree stays round-2 checkpoint compatible.
+    multiscale_heads: bool = False
     # Max depth in meters; the output head emits depth = sigmoid(x)*max_depth.
     max_depth: float = 80.0
     min_depth: float = 1e-3
@@ -127,6 +133,10 @@ class LossConfig:
     ssim_precision: str = "default"
     # Gradient loss computed at this many pyramid scales (>=1).
     grad_scales: int = 4
+    # Weight of the multi-scale depth supervision term (masked L1 per
+    # coarse head, scale k weighted 1/2^k), active only when the model
+    # emits scale predictions (ModelConfig.multiscale_heads).
+    w_scales: float = 0.5
     # Use the fused Pallas loss-reduction kernel when on TPU.
     use_pallas: bool = True
 

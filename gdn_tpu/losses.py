@@ -124,6 +124,39 @@ def ssim_loss(
     return (1.0 - s) / 2.0
 
 
+def multiscale_depth_loss(
+    scale_preds: Sequence[jnp.ndarray],
+    gt: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Masked L1 supervision of the coarse decoder heads
+    (ModelConfig.multiscale_heads; SURVEY §2.3 multi-scale outputs).
+
+    ``scale_preds`` are ordered coarse->fine; scale j gets weight
+    0.5^(n-1-j) (the standard DispNet-style decay — the finest coarse
+    head is weighted highest, the deepest lowest).  GT/mask are
+    downsampled with NEAREST so sparse-LiDAR validity is preserved
+    (bilinear would smear invalid zeros into neighbors)."""
+    from gdn_tpu.ops.resize import resize_nearest
+
+    gt3 = _squeeze(gt).astype(jnp.float32)
+    m3 = _squeeze(mask).astype(jnp.float32)
+    n = len(scale_preds)
+    total = jnp.float32(0.0)
+    wsum = 0.0
+    for j, p in enumerate(scale_preds):
+        p3 = _squeeze(p).astype(jnp.float32)
+        hw = tuple(p3.shape[1:3])
+        # resize operates on (..., H, W, C): give (B, H, W) an explicit
+        # channel dim so the batch axis is not resized
+        g = resize_nearest(gt3[..., None], hw)[..., 0]
+        m = resize_nearest(m3[..., None], hw)[..., 0]
+        w = 0.5 ** (n - 1 - j)
+        total = total + w * masked_l1(p3, g, m)
+        wsum += w
+    return total / wsum
+
+
 def latent_loss(
     feats_a: Sequence[jnp.ndarray], feats_b: Sequence[jnp.ndarray]
 ) -> jnp.ndarray:
@@ -148,6 +181,7 @@ def total_loss(
     max_depth: float,
     pred_latents: Sequence[jnp.ndarray] = (),
     target_latents: Sequence[jnp.ndarray] = (),
+    scale_preds: Sequence[jnp.ndarray] = (),
 ) -> Dict[str, jnp.ndarray]:
     """Composite loss; returns dict with 'total' plus each term.
 
@@ -198,6 +232,9 @@ def total_loss(
     if pred_latents and target_latents:
         terms["latent"] = latent_loss(pred_latents, target_latents)
         total = total + cfg.w_latent * terms["latent"]
+    if scale_preds:
+        terms["scales"] = multiscale_depth_loss(scale_preds, gt, mask)
+        total = total + cfg.w_scales * terms["scales"]
     terms["total"] = total
     return terms
 

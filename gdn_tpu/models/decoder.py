@@ -34,10 +34,11 @@ class Decoder(nn.Module):
         self,
         latent: jnp.ndarray,
         skips: Sequence[jnp.ndarray],
-    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[jnp.ndarray]]:
         c = self.cfg
         x = latent.astype(c.compute_dtype)
         dec_feats = []
+        depth_scales = []
         # skips are fine->coarse; consume coarse->fine.
         for i, ch in enumerate(c.dec_channels):
             skip = skips[len(skips) - 1 - i]
@@ -45,5 +46,14 @@ class Decoder(nn.Module):
                 x, target_hw=tuple(skip.shape[1:3]), lateral=skip
             )
             dec_feats.append(x)
+            if c.multiscale_heads and i < len(c.dec_channels) - 1:
+                # coarse-scale supervision heads (SURVEY §2.3
+                # multi-scale outputs); the finest scale keeps the main
+                # head below.  Flag-off trees are unchanged.
+                depth_scales.append(
+                    DepthHead(cfg=c, name=f"head{i}")(x)
+                )
         depth = DepthHead(cfg=c, name="head")(x)
-        return depth, dec_feats
+        if c.multiscale_heads:
+            depth_scales.append(depth)
+        return depth, dec_feats, depth_scales

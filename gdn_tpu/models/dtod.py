@@ -33,10 +33,13 @@ class DtoDNet(nn.Module):
         """
         x = depth / self.cfg.max_depth  # normalize into [0, 1]
         latent, skips = Encoder(cfg=self.cfg, name="encoder")(x)
-        recon, dec_feats = Decoder(cfg=self.cfg, name="decoder")(latent, skips)
+        recon, dec_feats, depth_scales = Decoder(
+            cfg=self.cfg, name="decoder"
+        )(latent, skips)
         return {
             "depth": recon,
             "latent": latent,
             "dec_feats": dec_feats,
             "skips": skips,
+            "depth_scales": depth_scales,
         }

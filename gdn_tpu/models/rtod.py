@@ -38,10 +38,13 @@ class RtoDNet(nn.Module):
         """
         x = rgb * 2.0 - 1.0  # center RGB
         latent, skips = Encoder(cfg=self.cfg, name="encoder")(x)
-        depth, dec_feats = Decoder(cfg=self.cfg, name="decoder")(latent, skips)
+        depth, dec_feats, depth_scales = Decoder(
+            cfg=self.cfg, name="decoder"
+        )(latent, skips)
         return {
             "depth": depth,
             "latent": latent,
             "dec_feats": dec_feats,
             "skips": skips,
+            "depth_scales": depth_scales,
         }

@@ -98,7 +98,8 @@ def _val_terms(apply_fn, params, batch, loss_cfg, max_depth, input_key):
 
     out = apply_fn({"params": params}, batch[input_key])
     return total_loss(
-        out["depth"], batch["depth"], batch["mask"], loss_cfg, max_depth
+        out["depth"], batch["depth"], batch["mask"], loss_cfg, max_depth,
+        scale_preds=out["depth_scales"][:-1],
     )
 
 

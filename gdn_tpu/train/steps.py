@@ -44,6 +44,10 @@ def _stage1_loss(params, apply_fn, batch: Batch, cfg: Config):
     terms = total_loss(
         out["depth"], batch["depth"], batch["mask"],
         cfg.loss, cfg.model.max_depth,
+        # coarse heads only: the finest entry IS out["depth"], already
+        # covered by the recon/grad/SSIM terms (empty when the
+        # multiscale_heads flag is off)
+        scale_preds=out["depth_scales"][:-1],
     )
     return terms["total"], terms
 
@@ -58,6 +62,7 @@ def _stage2_loss(params, d_params, apply_fn, d_apply_fn, batch: Batch, cfg: Conf
         cfg.loss, cfg.model.max_depth,
         pred_latents=[g_out["latent"], *g_out["dec_feats"]],
         target_latents=[stop(d_out["latent"]), *map(stop, d_out["dec_feats"])],
+        scale_preds=g_out["depth_scales"][:-1],
     )
     return terms["total"], terms
 

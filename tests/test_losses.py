@@ -165,3 +165,47 @@ def test_padded_image_contributes_nothing_fused(rng):
         )
     )(pred3)
     np.testing.assert_array_equal(np.asarray(g[2]), 0.0)
+
+
+def test_multiscale_depth_loss_perfect_and_weighting():
+    import jax.numpy as jnp
+
+    from gdn_tpu.losses import multiscale_depth_loss
+    from gdn_tpu.ops.resize import resize_nearest
+
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.uniform(1, 79, (2, 16, 32)).astype(np.float32))
+    mask = jnp.ones((2, 16, 32), jnp.float32)
+    perfect = [
+        resize_nearest(gt[..., None], (8, 16)),
+        gt[..., None],
+    ]
+    assert float(multiscale_depth_loss(perfect, gt, mask)) == 0.0
+
+    # off-by-c at the coarse scale only: weighted (0.5*c)/(1.5)
+    c = 3.0
+    preds = [perfect[0] + c, perfect[1]]
+    val = float(multiscale_depth_loss(preds, gt, mask))
+    assert val == pytest.approx(0.5 * c / 1.5, rel=1e-6)
+
+
+def test_total_loss_scales_term_wiring():
+    import jax.numpy as jnp
+
+    from gdn_tpu.config import LossConfig
+    from gdn_tpu.losses import total_loss
+
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.uniform(1, 79, (1, 16, 32, 1)).astype(np.float32))
+    mask = jnp.ones_like(gt)
+    pred = gt * 1.1
+    coarse = jnp.asarray(
+        rng.uniform(1, 79, (1, 8, 16, 1)).astype(np.float32)
+    )
+    cfg = LossConfig(use_pallas=False, grad_scales=2, w_scales=0.7)
+    base = total_loss(pred, gt, mask, cfg, 80.0)
+    with_s = total_loss(pred, gt, mask, cfg, 80.0, scale_preds=[coarse])
+    assert "scales" not in base
+    assert float(with_s["total"]) == pytest.approx(
+        float(base["total"]) + 0.7 * float(with_s["scales"]), rel=1e-6
+    )

