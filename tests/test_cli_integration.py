@@ -168,3 +168,13 @@ def test_import_torch_cli(tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=str(kp))
+
+
+def test_profile_cli(tmp_path):
+    """scripts/profile.py traces steps and prints the op-time report
+    (works on CPU; the parser handles CPU pids)."""
+    out = _run("profile.py", "--mode", "DtoD", "--batch_size", "2",
+               "--steps", "2", "--logdir", str(tmp_path / "prof"),
+               *COMMON, timeout=900)
+    assert "program_ms_per_step" in out.stdout
+    assert "top op categories" in out.stdout
