@@ -190,6 +190,14 @@ class TrainConfig:
     remat_policy: str = "nothing_saveable"
     # Stage 2: freeze the transferred decoder (optax.masked zero-updates).
     freeze_decoder: bool = True
+    # Stage 2: run the (shared, frozen) decoder ONCE on the
+    # batch-concatenated D+G encoder outputs instead of once per net —
+    # halves the decoder's op count, which the round-2 profile showed
+    # is latency-bound (~85 µs/op), with bit-identical math (GroupNorm
+    # is per-sample; the transferred decoder params are frozen, so both
+    # nets' decoders stay equal).  Requires freeze_decoder.  Default
+    # off until TPU-measured (CLAUDE.md gating policy).
+    fused_guidance: bool = False
     seed: int = 0
     # NaN/Inf guard on loss terms every step (utils/guards.GuardedStep);
     # adds a host sync per step — debug tool, off in production.

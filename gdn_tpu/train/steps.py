@@ -67,6 +67,51 @@ def _stage2_loss(params, d_params, apply_fn, d_apply_fn, batch: Batch, cfg: Conf
     return terms["total"], terms
 
 
+def _stage2_loss_fused(params, d_params, batch: Batch, cfg: Config):
+    """Stage-2 loss with ONE shared decoder pass (TrainConfig.
+    fused_guidance): the D-net encoder (no grad) and the G-net encoder
+    run separately, then the frozen transferred decoder — identical
+    params in both nets by the freeze_decoder contract — runs ONCE on
+    the batch-concatenated (latent, skips).  Math is bit-identical to
+    the two-net formulation (convs and GroupNorm are per-sample), with
+    half the decoder's op count (the profiled per-op-latency floor).
+    """
+    from gdn_tpu.models.decoder import Decoder
+    from gdn_tpu.models.encoder import Encoder
+
+    stop = jax.lax.stop_gradient
+    enc = Encoder(cfg=cfg.model)
+    dec = Decoder(cfg=cfg.model)
+    b = batch["depth"].shape[0]
+
+    d_latent, d_skips = enc.apply(
+        {"params": d_params["encoder"]},
+        stop(batch["depth"]) / cfg.model.max_depth,
+    )
+    d_latent = stop(d_latent)
+    d_skips = [stop(s) for s in d_skips]
+    g_latent, g_skips = enc.apply(
+        {"params": params["encoder"]}, batch["rgb"] * 2.0 - 1.0
+    )
+
+    latent = jnp.concatenate([d_latent, g_latent])
+    skips = [jnp.concatenate([d, g]) for d, g in zip(d_skips, g_skips)]
+    depth, dec_feats, depth_scales = dec.apply(
+        {"params": params["decoder"]}, latent, skips
+    )
+    g_depth = depth[b:]
+    g_feats = [f[b:] for f in dec_feats]
+    d_feats = [stop(f[:b]) for f in dec_feats]
+    terms = total_loss(
+        g_depth, batch["depth"], batch["mask"],
+        cfg.loss, cfg.model.max_depth,
+        pred_latents=[g_latent, *g_feats],
+        target_latents=[d_latent, *d_feats],
+        scale_preds=[p[b:] for p in depth_scales[:-1]],
+    )
+    return terms["total"], terms
+
+
 def make_stage1_step(
     cfg: Config, mesh: Optional[Mesh] = None
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
@@ -98,14 +143,25 @@ def make_stage2_step(
     from gdn_tpu.models import DtoDNet
 
     d_apply = DtoDNet(cfg=cfg.model).apply
-
-    def step(state: TrainState, d_params, batch: Batch):
-        grad_fn = jax.value_and_grad(_stage2_loss, has_aux=True)
-        (_, terms), grads = grad_fn(
-            state.params, d_params, state.apply_fn, d_apply, batch, cfg
+    if cfg.train.fused_guidance:
+        assert cfg.train.freeze_decoder, (
+            "fused_guidance requires freeze_decoder: the shared-decoder "
+            "pass is only valid while both nets' decoder params stay equal"
         )
-        new_state = state.apply_gradients(grads=grads)
-        return new_state, terms
+
+        def step(state: TrainState, d_params, batch: Batch):
+            grad_fn = jax.value_and_grad(_stage2_loss_fused, has_aux=True)
+            (_, terms), grads = grad_fn(state.params, d_params, batch, cfg)
+            new_state = state.apply_gradients(grads=grads)
+            return new_state, terms
+    else:
+        def step(state: TrainState, d_params, batch: Batch):
+            grad_fn = jax.value_and_grad(_stage2_loss, has_aux=True)
+            (_, terms), grads = grad_fn(
+                state.params, d_params, state.apply_fn, d_apply, batch, cfg
+            )
+            new_state = state.apply_gradients(grads=grads)
+            return new_state, terms
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
@@ -158,10 +214,16 @@ def make_stage2_multistep(
     from gdn_tpu.models import DtoDNet
 
     d_apply = DtoDNet(cfg=cfg.model).apply
+    if cfg.train.fused_guidance:
+        assert cfg.train.freeze_decoder, "fused_guidance requires freeze_decoder"
 
     def step(state: TrainState, d_params, batches: Batch):
         def body(carry, batch):
             state = carry
+            if cfg.train.fused_guidance:
+                grad_fn = jax.value_and_grad(_stage2_loss_fused, has_aux=True)
+                (_, terms), grads = grad_fn(state.params, d_params, batch, cfg)
+                return state.apply_gradients(grads=grads), terms
             grad_fn = jax.value_and_grad(_stage2_loss, has_aux=True)
             (_, terms), grads = grad_fn(
                 state.params, d_params, state.apply_fn, d_apply, batch, cfg

@@ -694,3 +694,63 @@ def test_multiscale_training_decreases_loss():
     _, terms = step(g_state, d_state.params, batch)
     assert "scales" in terms
     assert np.isfinite(float(terms["scales"]))
+
+
+def test_fused_guidance_step_matches_two_net_step(d_state):
+    """TrainConfig.fused_guidance (one shared frozen-decoder pass on the
+    concatenated D+G batch) must produce the same loss terms and the
+    same parameter update as the two-net formulation (exact math
+    identity: convs/GN are per-sample; fp32 compute here so float
+    accumulation differences stay tiny)."""
+    import dataclasses
+
+    base = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, freeze_decoder=True)
+    )
+    fused_cfg = dataclasses.replace(
+        base, train=dataclasses.replace(base.train, fused_guidance=True)
+    )
+    g_model = RtoDNet(cfg=TINY.model)
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+
+    mk_state = lambda: create_state(
+        g_model, (1, 32, 64, 3), base.train, 10, freeze_decoder=True
+    ).replace(params=None)
+    s0 = create_state(g_model, (1, 32, 64, 3), base.train, 10,
+                      freeze_decoder=True)
+    params0 = transfer_stage1_decoder(s0.params, d_state.params)
+
+    batch = _batch(7, b=4)
+    results = []
+    for cfg in (base, fused_cfg):
+        state = create_state(
+            g_model, (1, 32, 64, 3), cfg.train, 10, freeze_decoder=True,
+            params=jax.tree.map(jnp.copy, params0),
+        )
+        step = make_stage2_step(cfg, mesh=None)
+        state, terms = step(state, d_state.params, batch)
+        results.append((state, terms))
+    (s_a, t_a), (s_b, t_b) = results
+    for k in t_a:
+        assert float(t_a[k]) == pytest.approx(float(t_b[k]), rel=1e-5), k
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s_a.params)[0],
+        jax.tree_util.tree_flatten_with_path(s_b.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+            err_msg=str(kp),
+        )
+
+
+def test_fused_guidance_requires_freeze():
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        TINY,
+        train=dataclasses.replace(
+            TINY.train, fused_guidance=True, freeze_decoder=False
+        ),
+    )
+    with pytest.raises(AssertionError, match="freeze_decoder"):
+        make_stage2_step(cfg, mesh=None)
