@@ -77,6 +77,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint of this stage")
+    p.add_argument("--fused_guidance", action="store_true",
+                   help="stage 2: run the shared frozen decoder ONCE on "
+                        "the concatenated D+G batch (+9%% at B=32, slower "
+                        "at B=128; requires freeze_decoder; BASELINE.md)")
     p.add_argument("--multiscale", action="store_true",
                    help="emit + supervise depth at every decoder scale "
                         "(DispNet-style multi-scale heads; "
@@ -154,6 +158,7 @@ def build_config(args: argparse.Namespace) -> Config:
             "train.decay_gamma": args.decay_gamma,
             "train.steps_per_epoch": args.steps_per_epoch,
             "train.steps_per_call": args.steps_per_call,
+            "train.fused_guidance": args.fused_guidance,
             "data.loader": args.loader,
             "train.freeze_decoder": not args.no_freeze_decoder,
             "train.log_every": args.log_every,
