@@ -197,7 +197,13 @@ class TrainConfig:
     # is per-sample; the transferred decoder params are frozen, so both
     # nets' decoders stay equal).  Requires freeze_decoder.  Default
     # off until TPU-measured (CLAUDE.md gating policy).
+    # Measured (BASELINE.md): +9.1% at B=32 (latency regime), -21% at
+    # B=128 (the g-half slice backward widens to 2B) — small-batch tool.
     fused_guidance: bool = False
+    # Additionally run BOTH encoder ladders as one channel-grouped conv
+    # ladder (train/fused_encoders.py): halves the encoder op count on
+    # top of fused_guidance's decoder sharing.  Requires fused_guidance.
+    fused_encoders: bool = False
     seed: int = 0
     # NaN/Inf guard on loss terms every step (utils/guards.GuardedStep);
     # adds a host sync per step — debug tool, off in production.

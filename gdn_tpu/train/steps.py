@@ -84,15 +84,24 @@ def _stage2_loss_fused(params, d_params, batch: Batch, cfg: Config):
     dec = Decoder(cfg=cfg.model)
     b = batch["depth"].shape[0]
 
-    d_latent, d_skips = enc.apply(
-        {"params": d_params["encoder"]},
-        stop(batch["depth"]) / cfg.model.max_depth,
-    )
+    if cfg.train.fused_encoders:
+        from gdn_tpu.train.fused_encoders import paired_encoders
+
+        d_latent, g_latent, d_skips, g_skips = paired_encoders(
+            stop(batch["depth"]) / cfg.model.max_depth,
+            batch["rgb"] * 2.0 - 1.0,
+            d_params["encoder"], params["encoder"], cfg.model,
+        )
+    else:
+        d_latent, d_skips = enc.apply(
+            {"params": d_params["encoder"]},
+            stop(batch["depth"]) / cfg.model.max_depth,
+        )
+        g_latent, g_skips = enc.apply(
+            {"params": params["encoder"]}, batch["rgb"] * 2.0 - 1.0
+        )
     d_latent = stop(d_latent)
     d_skips = [stop(s) for s in d_skips]
-    g_latent, g_skips = enc.apply(
-        {"params": params["encoder"]}, batch["rgb"] * 2.0 - 1.0
-    )
 
     latent = jnp.concatenate([d_latent, g_latent])
     skips = [jnp.concatenate([d, g]) for d, g in zip(d_skips, g_skips)]
@@ -143,6 +152,11 @@ def make_stage2_step(
     from gdn_tpu.models import DtoDNet
 
     d_apply = DtoDNet(cfg=cfg.model).apply
+    if cfg.train.fused_encoders:
+        assert cfg.train.fused_guidance, (
+            "fused_encoders requires fused_guidance (it feeds the shared "
+            "decoder pass)"
+        )
     if cfg.train.fused_guidance:
         assert cfg.train.freeze_decoder, (
             "fused_guidance requires freeze_decoder: the shared-decoder "
@@ -214,6 +228,8 @@ def make_stage2_multistep(
     from gdn_tpu.models import DtoDNet
 
     d_apply = DtoDNet(cfg=cfg.model).apply
+    if cfg.train.fused_encoders:
+        assert cfg.train.fused_guidance, "fused_encoders requires fused_guidance"
     if cfg.train.fused_guidance:
         assert cfg.train.freeze_decoder, "fused_guidance requires freeze_decoder"
 

@@ -754,3 +754,79 @@ def test_fused_guidance_requires_freeze():
     )
     with pytest.raises(AssertionError, match="freeze_decoder"):
         make_stage2_step(cfg, mesh=None)
+
+
+def test_paired_encoders_match_separate_ladders(d_state):
+    """fused_encoders: the channel-grouped paired ladder must reproduce
+    both separate Encoder.apply results (grouped convs keep streams
+    independent; GN groups stay within streams; the depth stem's 1->3
+    channel zero-padding is exact)."""
+    from gdn_tpu.models.encoder import Encoder
+    from gdn_tpu.train.fused_encoders import paired_encoders
+
+    g_model = RtoDNet(cfg=TINY.model)
+    g_state = create_state(g_model, (1, 32, 64, 3), TINY.train, 10)
+    batch = _batch(9, b=4)
+    depth_n = batch["depth"] / TINY.model.max_depth
+    rgb_c = batch["rgb"] * 2.0 - 1.0
+
+    enc = Encoder(cfg=TINY.model)
+    d_lat, d_sk = enc.apply({"params": d_state.params["encoder"]}, depth_n)
+    g_lat, g_sk = enc.apply({"params": g_state.params["encoder"]}, rgb_c)
+
+    pd_lat, pg_lat, pd_sk, pg_sk = paired_encoders(
+        depth_n, rgb_c, d_state.params["encoder"],
+        g_state.params["encoder"], TINY.model,
+    )
+    np.testing.assert_allclose(np.asarray(pd_lat), np.asarray(d_lat),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pg_lat), np.asarray(g_lat),
+                               rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(pd_sk, d_sk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b_ in zip(pg_sk, g_sk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_encoders_step_matches_two_net_step(d_state):
+    """Full fused path (fused_guidance + fused_encoders) vs the plain
+    two-net step: same loss terms, same update."""
+    import dataclasses
+
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+
+    base = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, freeze_decoder=True)
+    )
+    full = dataclasses.replace(
+        base, train=dataclasses.replace(
+            base.train, fused_guidance=True, fused_encoders=True
+        ),
+    )
+    g_model = RtoDNet(cfg=TINY.model)
+    s0 = create_state(g_model, (1, 32, 64, 3), base.train, 10,
+                      freeze_decoder=True)
+    params0 = transfer_stage1_decoder(s0.params, d_state.params)
+    batch = _batch(13, b=4)
+    results = []
+    for cfg in (base, full):
+        state = create_state(
+            g_model, (1, 32, 64, 3), cfg.train, 10, freeze_decoder=True,
+            params=jax.tree.map(jnp.copy, params0),
+        )
+        step = make_stage2_step(cfg, mesh=None)
+        state, terms = step(state, d_state.params, batch)
+        results.append((state, terms))
+    (s_a, t_a), (s_b, t_b) = results
+    for k in t_a:
+        assert float(t_a[k]) == pytest.approx(float(t_b[k]), rel=1e-5), k
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s_a.params)[0],
+        jax.tree_util.tree_flatten_with_path(s_b.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+            err_msg=str(kp),
+        )
