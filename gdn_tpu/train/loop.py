@@ -9,6 +9,7 @@ go through utils.logging; checkpoints per epoch through orbax.
 
 from __future__ import annotations
 
+import signal
 import time
 from typing import Any, Dict, Iterable, Optional
 
@@ -31,6 +32,42 @@ from gdn_tpu.train.steps import (
 from gdn_tpu.utils.logging import MetricLogger
 
 
+class PreemptionHandler:
+    """Preemption-safe training (SURVEY §5 failure-detection row):
+    SIGTERM/SIGINT set a flag; the epoch loop finishes the in-flight
+    step, the trainer checkpoints, and the process exits cleanly.
+    Combined with the deterministic data-order resume ((seed, step) →
+    batch stream), a preempted run restarted with --resume continues
+    exactly where it stopped — the TPU-pod preemption story.
+
+    Installed once per training run (``install``); the previous
+    handlers are restored by ``uninstall`` so library users (and
+    pytest) are unaffected outside the loop.
+    """
+
+    def __init__(self):
+        self.requested = False
+        self._prev = {}
+
+    def _on_signal(self, signum, frame):
+        self.requested = True
+        print(f"[train] received signal {signum}: will checkpoint and "
+              "stop after the current step", flush=True)
+
+    def install(self) -> "PreemptionHandler":
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, self._on_signal)
+            except ValueError:  # non-main thread: no signal handling
+                pass
+        return self
+
+    def uninstall(self) -> None:
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        self._prev = {}
+
+
 def _epoch_loop(
     step_fn,
     state,
@@ -42,6 +79,7 @@ def _epoch_loop(
     mesh=None,
     extra_args=(),
     steps_per_call: int = 1,
+    preemption: Optional[PreemptionHandler] = None,
 ):
     """Drive `steps` optimizer updates.  With steps_per_call=K>1,
     `step_fn` must be a multistep (scan) step taking batches stacked on
@@ -86,6 +124,8 @@ def _epoch_loop(
             logger.log(
                 step=int(state.step), imgs_per_sec=imgs_per_sec, **terms
             )
+        if preemption is not None and preemption.requested:
+            break
     return state
 
 
@@ -160,19 +200,33 @@ def train_stage1(
         step_fn = GuardedStep(step_fn)
     logger = logger or MetricLogger(prefix="stage1")
     data_iter = iter(data_iter)
-    for epoch in range(epochs if epochs is not None else cfg.train.epochs):
-        state = _epoch_loop(
-            step_fn, state, data_iter, cfg.train.steps_per_epoch, logger,
-            cfg.data.batch_size, cfg.train.log_every, mesh,
-            steps_per_call=cfg.train.steps_per_call,
-        )
-        if val_iter is not None:
-            _validate(cfg, state, iter(val_iter), val_steps, logger)
-        if cfg.train.ckpt_dir:
-            ckpt.save_checkpoint(
-                f"{cfg.train.ckpt_dir}/stage1", int(state.step), state,
-                cfg.train.keep_ckpts,
+    preempt = PreemptionHandler().install()
+    try:
+        for epoch in range(
+            epochs if epochs is not None else cfg.train.epochs
+        ):
+            state = _epoch_loop(
+                step_fn, state, data_iter, cfg.train.steps_per_epoch,
+                logger, cfg.data.batch_size, cfg.train.log_every, mesh,
+                steps_per_call=cfg.train.steps_per_call,
+                preemption=preempt,
             )
+            if val_iter is not None and not preempt.requested:
+                _validate(cfg, state, iter(val_iter), val_steps, logger)
+            if cfg.train.ckpt_dir:
+                ckpt.save_checkpoint(
+                    f"{cfg.train.ckpt_dir}/stage1", int(state.step), state,
+                    cfg.train.keep_ckpts,
+                )
+            if preempt.requested:
+                print(
+                    f"[train] preempted: checkpoint saved at step "
+                    f"{int(state.step)}; resume with --resume",
+                    flush=True,
+                )
+                break
+    finally:
+        preempt.uninstall()
     return state
 
 
@@ -222,31 +276,50 @@ def train_stage2(
         step_fn = GuardedStep(step_fn)
     logger = logger or MetricLogger(prefix="stage2")
     data_iter = iter(data_iter)
-    for epoch in range(epochs if epochs is not None else cfg.train.epochs):
-        state = _epoch_loop(
-            step_fn, state, data_iter, cfg.train.steps_per_epoch, logger,
-            cfg.data.batch_size, cfg.train.log_every, mesh,
-            extra_args=(d_params,),
-            steps_per_call=cfg.train.steps_per_call,
-        )
-        if val_iter is not None:
-            _validate(cfg, state, iter(val_iter), val_steps, logger,
-                      d_params=d_params)
-        if eval_dataset is not None and (epoch + 1) % max(eval_every, 1) == 0:
-            from gdn_tpu.evaluate import evaluate
-            from gdn_tpu.train.steps import make_eval_forward
+    preempt = PreemptionHandler().install()
+    try:
+        for epoch in range(
+            epochs if epochs is not None else cfg.train.epochs
+        ):
+            state = _epoch_loop(
+                step_fn, state, data_iter, cfg.train.steps_per_epoch,
+                logger, cfg.data.batch_size, cfg.train.log_every, mesh,
+                extra_args=(d_params,),
+                steps_per_call=cfg.train.steps_per_call,
+                preemption=preempt,
+            )
+            if val_iter is not None and not preempt.requested:
+                _validate(cfg, state, iter(val_iter), val_steps, logger,
+                          d_params=d_params)
+            if (
+                eval_dataset is not None
+                and (epoch + 1) % max(eval_every, 1) == 0
+                and not preempt.requested
+            ):
+                from gdn_tpu.evaluate import evaluate
+                from gdn_tpu.train.steps import make_eval_forward
 
-            out = evaluate(
-                cfg, state.params, make_eval_forward(cfg, model),
-                eval_dataset(), max_images=eval_max_images, verbose=False,
-            )
-            logger.log(
-                step=int(state.step),
-                **{f"eval_{k}": v for k, v in out.items()},
-            )
-        if cfg.train.ckpt_dir:
-            ckpt.save_checkpoint(
-                f"{cfg.train.ckpt_dir}/stage2", int(state.step), state,
-                cfg.train.keep_ckpts,
-            )
+                out = evaluate(
+                    cfg, state.params, make_eval_forward(cfg, model),
+                    eval_dataset(), max_images=eval_max_images,
+                    verbose=False,
+                )
+                logger.log(
+                    step=int(state.step),
+                    **{f"eval_{k}": v for k, v in out.items()},
+                )
+            if cfg.train.ckpt_dir:
+                ckpt.save_checkpoint(
+                    f"{cfg.train.ckpt_dir}/stage2", int(state.step), state,
+                    cfg.train.keep_ckpts,
+                )
+            if preempt.requested:
+                print(
+                    f"[train] preempted: checkpoint saved at step "
+                    f"{int(state.step)}; resume with --resume",
+                    flush=True,
+                )
+                break
+    finally:
+        preempt.uninstall()
     return state

@@ -178,3 +178,39 @@ def test_profile_cli(tmp_path):
                *COMMON, timeout=900)
     assert "program_ms_per_step" in out.stdout
     assert "top op categories" in out.stdout
+
+
+def test_train_cli_sigterm_preemption(tmp_path):
+    """Product-level preemption: SIGTERM to a running scripts/train.py
+    finishes the step, checkpoints, prints the resume hint, exits 0."""
+    import signal
+    import time
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    model_dir = str(tmp_path / "ck")
+    proc = subprocess.Popen(
+        [PY, os.path.join(REPO, "scripts", "train.py"),
+         "--mode", "DtoD", "--model_dir", model_dir,
+         "--epochs", "1", "--steps_per_epoch", "500", "--batch_size", "2",
+         "--log_every", "1", "--seed", "3", *COMMON],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=REPO,
+    )
+    # wait for training to actually be stepping, then preempt
+    lines = []
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if not line:
+            break
+        lines.append(line)
+        if "step=" in line:
+            break
+    assert any("step=" in l for l in lines), "".join(lines)[-2000:]
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    full = "".join(lines) + out
+    assert proc.returncode == 0, full[-3000:]
+    assert "preempted: checkpoint saved" in full
+    assert os.path.isdir(os.path.join(model_dir, "stage1"))

@@ -830,3 +830,54 @@ def test_fused_encoders_step_matches_two_net_step(d_state):
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
             err_msg=str(kp),
         )
+
+
+def test_preemption_checkpoint_and_exact_resume(tmp_path):
+    """SIGTERM mid-epoch (SURVEY §5 failure-detection row): the loop
+    finishes the in-flight step, saves a checkpoint, and stops; a
+    resumed run continues from that exact step."""
+    import dataclasses
+    import signal as _signal
+
+    from gdn_tpu import checkpoint as ckpt_mod
+    from gdn_tpu.data.synthetic import SyntheticDataset
+    from gdn_tpu.models import DtoDNet
+    from gdn_tpu.train.loop import train_stage1
+
+    cfg = dataclasses.replace(
+        TINY,
+        train=dataclasses.replace(
+            TINY.train, steps_per_epoch=50, log_every=100,
+            ckpt_dir=str(tmp_path / "ck"),
+        ),
+    )
+
+    def preempting_iter():
+        for i, b in enumerate(iter(SyntheticDataset(
+            batch_size=4, height=32, width=64, seed=3
+        ))):
+            if i == 3:
+                _signal.raise_signal(_signal.SIGTERM)
+            yield b
+
+    state = train_stage1(cfg, preempting_iter(), use_mesh=False, epochs=1)
+    stopped_at = int(state.step)
+    assert 0 < stopped_at < 50  # stopped early, after the in-flight step
+
+    template = create_state(
+        DtoDNet(cfg=TINY.model), (1, 32, 64, 1), cfg.train, 50
+    )
+    restored = ckpt_mod.restore_checkpoint(
+        f"{cfg.train.ckpt_dir}/stage1", template
+    )
+    assert int(restored.step) == stopped_at
+    # and training continues cleanly from the restored state
+    ds = SyntheticDataset(batch_size=4, height=32, width=64, seed=3)
+    ds.seek(stopped_at)
+    cfg2 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, steps_per_epoch=2,
+                                       ckpt_dir="")
+    )
+    resumed = train_stage1(cfg2, ds, use_mesh=False, epochs=1,
+                           state=restored)
+    assert int(resumed.step) == stopped_at + 2
