@@ -48,12 +48,18 @@ class _PairSource:
     def __len__(self) -> int:
         return len(self.entries)
 
-    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+    def _decode(self, rgb_path: str, d_path: str):
         from gdn_tpu.data.kitti import load_depth, load_rgb
 
+        rgb = load_rgb(rgb_path, self.size)
+        return rgb, load_depth(d_path, self.size)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         rgb_rel, d_rel = self.entries[i]
-        rgb = load_rgb(os.path.join(self.data_path, rgb_rel), self.size)
-        depth = load_depth(os.path.join(self.data_path, d_rel), self.size)
+        rgb, depth = self._decode(
+            os.path.join(self.data_path, rgb_rel),
+            os.path.join(self.data_path, d_rel),
+        )
         depth = depth[..., None]
         mask = ((depth > 0.0) & (depth < self.max_depth)).astype(np.float32)
         return {
@@ -61,6 +67,30 @@ class _PairSource:
             "depth": np.clip(depth, 0.0, self.max_depth).astype(np.float32),
             "mask": mask,
         }
+
+
+class _NyuPairSource(_PairSource):
+    """NYU decode semantics (data/nyu.py): center-crop the white border
+    before resizing; depth png is millimeters."""
+
+    def __repr__(self) -> str:
+        return "Nyu" + super().__repr__()
+
+    def _decode(self, rgb_path: str, d_path: str):
+        from gdn_tpu.data.kitti import load_rgb
+        from gdn_tpu.data.nyu import center_crop_nyu, load_nyu_depth
+
+        rgb = load_rgb(rgb_path)
+        rgb = center_crop_nyu(rgb)
+        if rgb.shape[:2] != tuple(self.size):
+            from PIL import Image
+
+            img = Image.fromarray((rgb * 255).astype(np.uint8))
+            rgb = np.asarray(
+                img.resize((self.size[1], self.size[0]), Image.BILINEAR),
+                dtype=np.float32,
+            ) / 255.0
+        return rgb, load_nyu_depth(d_path, self.size)
 
 
 class GrainKittiDataset:
@@ -85,6 +115,7 @@ class GrainKittiDataset:
         max_depth: float = 80.0,
         num_epochs: Optional[int] = None,
         worker_count: int = 0,
+        dataset: str = "kitti",
     ):
         import grain.python as pg
 
@@ -99,7 +130,8 @@ class GrainKittiDataset:
                     f"train list lines must be '<rgb> <depth>', got {e!r}"
                 )
         self.batch_size = batch_size
-        self._source = _PairSource(data_path, entries, size, max_depth)
+        src_cls = _NyuPairSource if dataset == "nyu" else _PairSource
+        self._source = src_cls(data_path, entries, size, max_depth)
         self._loader = pg.DataLoader(
             data_source=self._source,
             sampler=pg.IndexSampler(
@@ -153,3 +185,8 @@ class GrainKittiDataset:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         for batch in self._iterator():
             yield batch
+
+
+# The class predates NYU support; the generic alias is the public name
+# for non-KITTI use (dataset="nyu" selects _NyuPairSource decode).
+GrainPairDataset = GrainKittiDataset

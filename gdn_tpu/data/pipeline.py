@@ -117,6 +117,11 @@ def make_loader(cfg: Config, split: str = "train"):
     h, w = cfg.model.image_size
     d = cfg.data
     if d.dataset == "synthetic":
+        if d.loader == "grain":
+            raise ValueError(
+                "--loader grain needs an on-disk dataset (kitti or nyu); "
+                "synthetic data is generated on device"
+            )
         from gdn_tpu.data.synthetic import (
             SyntheticDataset, SyntheticEvalDataset,
         )
@@ -128,11 +133,6 @@ def make_loader(cfg: Config, split: str = "train"):
         return SyntheticDataset(
             batch_size=d.batch_size, height=h, width=w,
             max_depth=cfg.model.max_depth, seed=cfg.train.seed,
-        )
-    if d.loader == "grain" and d.dataset != "kitti":
-        raise ValueError(
-            "--loader grain is implemented for --dataset kitti only "
-            f"(got {d.dataset!r}); the native loader covers the rest"
         )
     if d.dataset == "kitti":
         from gdn_tpu.data.kitti import KittiEvalDataset, KittiTrainDataset
@@ -159,6 +159,14 @@ def make_loader(cfg: Config, split: str = "train"):
         from gdn_tpu.data.nyu import NyuEvalDataset, NyuTrainDataset
 
         if split == "train":
+            if d.loader == "grain":
+                from gdn_tpu.data.grain_loader import GrainKittiDataset
+
+                return GrainKittiDataset(
+                    d.data_path, d.train_list, (h, w), d.batch_size,
+                    seed=cfg.train.seed, max_depth=cfg.model.max_depth,
+                    worker_count=0, dataset="nyu",
+                )
             return NyuTrainDataset(
                 d.data_path, d.train_list, (h, w), d.batch_size,
                 seed=cfg.train.seed, max_depth=cfg.model.max_depth,

@@ -551,13 +551,42 @@ def test_prefetch_releases_producer_on_abandon():
     assert count[0] <= seen + 2, "producer kept consuming after abandon"
 
 
-def test_make_loader_grain_nyu_rejected():
-    from gdn_tpu.config import nyu_config
+def test_make_loader_grain_synthetic_rejected():
+    from gdn_tpu.config import kitti_config
     from gdn_tpu.data.pipeline import make_loader
 
-    cfg = nyu_config(**{"data.loader": "grain"})
-    with pytest.raises(ValueError, match="kitti only"):
+    cfg = kitti_config(**{"data.loader": "grain",
+                          "data.dataset": "synthetic"})
+    with pytest.raises(ValueError, match="on-disk"):
         make_loader(cfg, "train")
+
+
+def test_grain_loader_nyu_matches_native(tmp_path):
+    """Grain NYU source: same decode semantics (center crop, mm->m) as
+    NyuTrainDataset, bit-equal first batch with shuffle off."""
+    from PIL import Image as PILImage
+
+    from gdn_tpu.data.grain_loader import GrainKittiDataset
+    from gdn_tpu.data.nyu import NyuTrainDataset
+
+    rng_l = np.random.default_rng(0)
+    lines = []
+    for i in range(4):
+        rgb = rng_l.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        PILImage.fromarray(rgb.astype(np.uint8)).save(tmp_path / f"{i}.png")
+        dmm = (rng_l.uniform(0, 10, (480, 640)) * 1000).astype(np.uint16)
+        PILImage.fromarray(dmm).save(tmp_path / f"{i}_d.png")
+        lines.append(f"{i}.png {i}_d.png")
+    (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
+
+    g = GrainKittiDataset(str(tmp_path), "train.txt", (228, 304),
+                          batch_size=2, shuffle=False, max_depth=10.0,
+                          dataset="nyu")
+    n = NyuTrainDataset(str(tmp_path), "train.txt", (228, 304),
+                        batch_size=2, shuffle=False, max_depth=10.0)
+    bg, bn = next(iter(g)), next(iter(n))
+    for k in ("rgb", "depth", "mask"):
+        np.testing.assert_array_equal(bg[k], bn[k], err_msg=k)
 
 
 def test_make_loader_passes_train_seed(kitti_fixture):
