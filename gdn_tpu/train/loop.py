@@ -276,6 +276,7 @@ def train_stage2(
         step_fn = GuardedStep(step_fn)
     logger = logger or MetricLogger(prefix="stage2")
     data_iter = iter(data_iter)
+    best_rmse = float("inf")
     preempt = PreemptionHandler().install()
     try:
         for epoch in range(
@@ -308,6 +309,18 @@ def train_stage2(
                     step=int(state.step),
                     **{f"eval_{k}": v for k, v in out.items()},
                 )
+                # best-model tracking (the reference family's
+                # "save best" habit): a separate stage2_best dir
+                # keyed on eval RMSE so long runs keep their best
+                # weights even after later epochs regress.
+                if cfg.train.ckpt_dir and out.get("rmse", float("inf")) < best_rmse:
+                    best_rmse = out["rmse"]
+                    ckpt.save_checkpoint(
+                        f"{cfg.train.ckpt_dir}/stage2_best",
+                        int(state.step), state, keep=1,
+                    )
+                    logger.log(step=int(state.step),
+                               best_rmse=float(best_rmse))
             if cfg.train.ckpt_dir:
                 ckpt.save_checkpoint(
                     f"{cfg.train.ckpt_dir}/stage2", int(state.step), state,

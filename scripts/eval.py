@@ -25,6 +25,9 @@ def main():
     p.add_argument("--stage", choices=["1", "2"], default="2",
                    help="evaluate stage-2 G-net (default) or stage-1 "
                         "D-net reconstruction")
+    p.add_argument("--best", action="store_true",
+                   help="load <model_dir>/stage2_best (the best-eval-RMSE "
+                        "checkpoint written by --eval_every training)")
     args = p.parse_args()
     apply_platform(args)
     cfg = build_config(args)
@@ -66,9 +69,11 @@ def main():
         template = create_state(
             RtoDNet(cfg=cfg.model), (1, h, w, 3), cfg.train, 1
         )
-        params = ckpt.load_params(
-            f"{cfg.train.ckpt_dir}/stage2", template.params
+        stage2_dir = (
+            f"{cfg.train.ckpt_dir}/stage2_best" if args.best
+            else f"{cfg.train.ckpt_dir}/stage2"
         )
+        params = ckpt.load_params(stage2_dir, template.params)
         forward = make_eval_forward(cfg)
     mesh = None
     if args.num_devices != 1:

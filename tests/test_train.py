@@ -1,6 +1,8 @@
 """Integration tests: train steps run, loss decreases, stage-1 ->
 stage-2 transfer works, checkpoints round-trip (SURVEY.md §4)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -881,3 +883,46 @@ def test_preemption_checkpoint_and_exact_resume(tmp_path):
     resumed = train_stage1(cfg2, ds, use_mesh=False, epochs=1,
                            state=restored)
     assert int(resumed.step) == stopped_at + 2
+
+
+def test_best_checkpoint_tracking(d_state, tmp_path):
+    """The in-training eval hook saves stage2_best on RMSE improvement
+    (the reference family's save-best habit) and it restores."""
+    import dataclasses
+    import io
+
+    from gdn_tpu import checkpoint as ckpt_mod
+    from gdn_tpu.train.loop import train_stage2
+    from gdn_tpu.utils.logging import MetricLogger
+
+    rng = np.random.default_rng(0)
+
+    def eval_ds():
+        for i in range(2):
+            b = _batch(70 + i, b=1)
+            gt = rng.uniform(1, 79, (1, 64, 128)).astype(np.float32)
+            yield {"rgb": np.asarray(b["rgb"]), "gt": gt}
+
+    cfg = dataclasses.replace(
+        TINY,
+        train=dataclasses.replace(
+            TINY.train, steps_per_epoch=2, ckpt_dir=str(tmp_path / "ck")
+        ),
+    )
+    buf = io.StringIO()
+    logger = MetricLogger(prefix="s2", stream=buf)
+    ds = SyntheticDataset(batch_size=8, height=32, width=64)
+    state = train_stage2(
+        cfg, ds, d_state.params, use_mesh=False, epochs=2, logger=logger,
+        eval_dataset=eval_ds,
+    )
+    assert "best_rmse=" in buf.getvalue()
+    assert os.path.isdir(str(tmp_path / "ck" / "stage2_best"))
+    template = create_state(
+        RtoDNet(cfg=TINY.model), (1, 32, 64, 3), cfg.train, 2,
+        freeze_decoder=True,
+    )
+    restored = ckpt_mod.restore_checkpoint(
+        str(tmp_path / "ck" / "stage2_best"), template
+    )
+    assert 0 < int(restored.step) <= int(state.step)
