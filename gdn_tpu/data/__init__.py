@@ -1,1 +1,2 @@
 from gdn_tpu.data.synthetic import SyntheticDataset, synthetic_batch
+
