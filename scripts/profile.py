@@ -56,6 +56,10 @@ def summarize_trace(logdir: str, n_steps: int, top: int = 12):
         if nm.startswith("jit_"):
             program += e.get("dur", 0)
             continue
+        if re.fullmatch(r"\d+", nm):
+            # bare-numeric names are XLA region/step markers that span
+            # whole groups of ops — counting them double-books time
+            continue
         cats[re.sub(r"[.\d]+$", "", nm)] += e.get("dur", 0)
         ops[nm] += e.get("dur", 0)
     to_ms = lambda d: {k: round(v / n_steps / 1000, 3) for k, v in
