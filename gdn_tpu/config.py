@@ -47,6 +47,14 @@ class ModelConfig:
     # The GN chains are the profiled per-step hot spot; chanreduce
     # measured +6.5% full-step throughput at B=128 (BASELINE.md).
     gn_impl: str = "chanreduce"
+    # Analytic custom-VJP GroupNorm+ELU (ops/groupnorm.py
+    # group_norm_elu_analytic): forward bit-identical to chanreduce, but
+    # the backward saves only the normalized tensor (not the conv output
+    # + ELU pre-activation autodiff keeps) and needs just two
+    # full-tensor reduces — built against the round-3 closing profile
+    # (GN stats = 18.5 ms of the 63 ms step).  TPU-measured win:
+    # stage-2 B=128 1908->1991 imgs/sec (+4.3%), two runs (BASELINE.md).
+    gn_analytic_vjp: bool = True
     # Activation inside conv blocks. ELU is standard in depth nets.
     activation: str = "elu"
     # Upsampling style: "resize_conv" (bilinear resize + conv; avoids the

@@ -52,6 +52,12 @@ def _group_norm_act(y, scale, bias, groups, cfg: ModelConfig):
         b, h, w, c = y.shape
         if kernel_supported(h, w, c, y.dtype.itemsize):
             return fused_group_norm_elu(y, scale, bias, groups)
+    if cfg.gn_analytic_vjp and cfg.activation == "elu":
+        # Hand-written minimal-residual backward (uses the chanreduce
+        # forward formulation regardless of cfg.gn_impl).
+        from gdn_tpu.ops.groupnorm import group_norm_elu_analytic
+
+        return group_norm_elu_analytic(y, scale, bias, groups)
     from gdn_tpu.ops.groupnorm import group_norm_act
 
     return group_norm_act(
