@@ -208,6 +208,16 @@ class TrainConfig:
     # Measured (BASELINE.md): +9.1% at B=32 (latency regime), -21% at
     # B=128 (the g-half slice backward widens to 2B) — small-batch tool.
     fused_guidance: bool = False
+    # Hand-written VJP for the fused_guidance shared-decoder pass
+    # (train/guided_decoder.py): the backward recomputes only the g-half
+    # forward (B-wide) instead of differentiating the 2B-wide decoder.
+    # MEASURED NEGATIVE (BASELINE.md): no gain at B=128 (1554 vs 1542 —
+    # the frozen decoder's weight grads were already DCE'd, so
+    # input-bwd(2B) == recompute(B)+bwd(B) in FLOPs) and -18% at B=32
+    # (the extra recompute ops land in the latency-bound regime).  Kept
+    # as an equivalence-tested capability; it also halves the fused
+    # decoder's saved-residual memory (a remat-flavored knob).
+    fused_guidance_vjp: bool = False
     # Additionally run BOTH encoder ladders as one channel-grouped conv
     # ladder (train/fused_encoders.py): halves the encoder op count on
     # top of fused_guidance's decoder sharing.  Requires fused_guidance.

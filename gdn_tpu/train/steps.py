@@ -52,7 +52,21 @@ def _stage1_loss(params, apply_fn, batch: Batch, cfg: Config):
     return terms["total"], terms
 
 
+def _freeze_decoder_params(params, cfg: Config):
+    """With cfg.train.freeze_decoder the optimizer routes decoder leaves
+    to set_to_zero (state.py), so their gradients are computed by
+    autodiff and then discarded.  Stop-gradding the frozen subtree here
+    lets XLA dead-code-eliminate every decoder weight-gradient conv —
+    identical updates (the clip/Adam chain only ever sees trainable
+    leaves inside the multi_transform), measurably less backward work.
+    """
+    if cfg.train.freeze_decoder and "decoder" in params:
+        return {**params, "decoder": jax.lax.stop_gradient(params["decoder"])}
+    return params
+
+
 def _stage2_loss(params, d_params, apply_fn, d_apply_fn, batch: Batch, cfg: Config):
+    params = _freeze_decoder_params(params, cfg)
     # Frozen D-net runs on GT depth (no grad) to produce guidance targets.
     d_out = d_apply_fn({"params": d_params}, batch["depth"])
     g_out = _maybe_remat(apply_fn, cfg)({"params": params}, batch["rgb"])
@@ -79,6 +93,7 @@ def _stage2_loss_fused(params, d_params, batch: Batch, cfg: Config):
     from gdn_tpu.models.decoder import Decoder
     from gdn_tpu.models.encoder import Encoder
 
+    params = _freeze_decoder_params(params, cfg)
     stop = jax.lax.stop_gradient
     enc = Encoder(cfg=cfg.model)
     dec = Decoder(cfg=cfg.model)
@@ -103,11 +118,21 @@ def _stage2_loss_fused(params, d_params, batch: Batch, cfg: Config):
     d_latent = stop(d_latent)
     d_skips = [stop(s) for s in d_skips]
 
-    latent = jnp.concatenate([d_latent, g_latent])
-    skips = [jnp.concatenate([d, g]) for d, g in zip(d_skips, g_skips)]
-    depth, dec_feats, depth_scales = dec.apply(
-        {"params": params["decoder"]}, latent, skips
-    )
+    if cfg.train.fused_guidance_vjp:
+        # custom-VJP pair: 2B-wide forward, g-half-only recompute
+        # backward — removes the 2B-wide decoder backward that made
+        # fused_guidance lose at B=128 (train/guided_decoder.py).
+        from gdn_tpu.train.guided_decoder import shared_guided_decoder
+
+        depth, dec_feats, depth_scales = shared_guided_decoder(
+            cfg.model, params["decoder"], d_latent, g_latent, d_skips, g_skips
+        )
+    else:
+        latent = jnp.concatenate([d_latent, g_latent])
+        skips = [jnp.concatenate([d, g]) for d, g in zip(d_skips, g_skips)]
+        depth, dec_feats, depth_scales = dec.apply(
+            {"params": params["decoder"]}, latent, skips
+        )
     g_depth = depth[b:]
     g_feats = [f[b:] for f in dec_feats]
     d_feats = [stop(f[:b]) for f in dec_feats]

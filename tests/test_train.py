@@ -712,6 +712,16 @@ def test_fused_guidance_step_matches_two_net_step(d_state):
     fused_cfg = dataclasses.replace(
         base, train=dataclasses.replace(base.train, fused_guidance=True)
     )
+    # fused_guidance_vjp defaults on (custom g-half-recompute backward,
+    # train/guided_decoder.py); also run the autodiff'd 2B-wide fused
+    # decoder so BOTH fused backwards are checked against the two-net
+    # ground truth.
+    fused_autodiff_cfg = dataclasses.replace(
+        base,
+        train=dataclasses.replace(
+            base.train, fused_guidance=True, fused_guidance_vjp=False
+        ),
+    )
     g_model = RtoDNet(cfg=TINY.model)
     from gdn_tpu.checkpoint import transfer_stage1_decoder
 
@@ -724,7 +734,7 @@ def test_fused_guidance_step_matches_two_net_step(d_state):
 
     batch = _batch(7, b=4)
     results = []
-    for cfg in (base, fused_cfg):
+    for cfg in (base, fused_cfg, fused_autodiff_cfg):
         state = create_state(
             g_model, (1, 32, 64, 3), cfg.train, 10, freeze_decoder=True,
             params=jax.tree.map(jnp.copy, params0),
@@ -732,17 +742,18 @@ def test_fused_guidance_step_matches_two_net_step(d_state):
         step = make_stage2_step(cfg, mesh=None)
         state, terms = step(state, d_state.params, batch)
         results.append((state, terms))
-    (s_a, t_a), (s_b, t_b) = results
-    for k in t_a:
-        assert float(t_a[k]) == pytest.approx(float(t_b[k]), rel=1e-5), k
-    for (kp, a), (_, b) in zip(
-        jax.tree_util.tree_flatten_with_path(s_a.params)[0],
-        jax.tree_util.tree_flatten_with_path(s_b.params)[0],
-    ):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
-            err_msg=str(kp),
-        )
+    (s_a, t_a) = results[0]
+    for s_b, t_b in results[1:]:
+        for k in t_a:
+            assert float(t_a[k]) == pytest.approx(float(t_b[k]), rel=1e-5), k
+        for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(s_a.params)[0],
+            jax.tree_util.tree_flatten_with_path(s_b.params)[0],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+                err_msg=str(kp),
+            )
 
 
 def test_fused_guidance_requires_freeze():
@@ -926,3 +937,40 @@ def test_best_checkpoint_tracking(d_state, tmp_path):
         str(tmp_path / "ck" / "stage2_best"), template
     )
     assert 0 < int(restored.step) <= int(state.step)
+
+
+def test_freeze_decoder_stop_grad_preserves_updates(d_state):
+    """The stop_gradient on the frozen decoder subtree
+    (train/steps._freeze_decoder_params) is a pure backward-cost
+    optimization: updated params must be bit-identical to computing the
+    decoder grads and letting the optax multi_transform discard them
+    (cfg.train.freeze_decoder=False skips the stop-grad; the state's
+    optimizer mask is what actually freezes)."""
+    import dataclasses
+
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+
+    g_model = RtoDNet(cfg=TINY.model)
+    g_state = create_state(
+        g_model, (1, 32, 64, 3), TINY.train, 10, freeze_decoder=True
+    )
+    g_state = g_state.replace(
+        params=transfer_stage1_decoder(g_state.params, d_state.params)
+    )
+    batch = _batch(7)
+
+    cfg_stop = TINY  # freeze_decoder=True -> stop-grad path
+    cfg_full = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, freeze_decoder=False)
+    )
+    sa = jax.tree.map(jnp.copy, g_state)
+    sb = jax.tree.map(jnp.copy, g_state)
+    s_stop, t_stop = make_stage2_step(cfg_stop, mesh=None)(
+        sa, d_state.params, batch
+    )
+    s_full, t_full = make_stage2_step(cfg_full, mesh=None)(
+        sb, d_state.params, batch
+    )
+    assert float(t_stop["total"]) == float(t_full["total"])
+    for a, b in zip(jax.tree.leaves(s_stop.params), jax.tree.leaves(s_full.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
