@@ -31,6 +31,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="decoder upsampling style: resize_conv (default; "
                         "artifact-free) or deconv (the reference's style; "
                         "measured +42%% step throughput, BASELINE.md)")
+    p.add_argument("--deconv_init", choices=["lecun", "bilinear"],
+                   default=None,
+                   help="deconv kernel init: lecun (4x4, flax default) or "
+                        "bilinear (6x6 composed bilinear-2x ∘ conv3x3 — at "
+                        "init the deconv decoder computes the resize_conv "
+                        "function on interior pixels; no checkerboard "
+                        "start). Only used with --upsample deconv")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", choices=["default", "cpu", "tpu"],
                    default="default",
@@ -140,6 +147,8 @@ def build_config(args: argparse.Namespace) -> Config:
         model = dataclasses.replace(model, max_depth=args.max_depth)
     if getattr(args, "upsample", None):
         model = dataclasses.replace(model, upsample=args.upsample)
+    if getattr(args, "deconv_init", None):
+        model = dataclasses.replace(model, deconv_init=args.deconv_init)
     if getattr(args, "multiscale", False):
         model = dataclasses.replace(model, multiscale_heads=True)
     if getattr(args, "no_pallas", False):

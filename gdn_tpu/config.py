@@ -69,6 +69,15 @@ class ModelConfig:
     # answered negative.  Default off = the reference's own
     # deconv+activation style.
     deconv_gn: bool = False
+    # Deconv kernel initialization: "lecun" (flax default on a 4x4
+    # kernel) or "bilinear" — a 6x6 kernel composed as
+    # bilinear-2x-upsample ∘ lecun-3x3-conv (ops/resize.py
+    # compose_bilinear_deconv_kernel), so at init the deconv decoder
+    # computes the SAME function as the resize_conv decoder on interior
+    # pixels (no checkerboard).  Built to de-confound the deconv
+    # convergence comparison (round-2/3 rejected deconv on a1; both
+    # rejected variants started from checkerboard-prone random inits).
+    deconv_init: str = "lecun"
     # Guidance fusion: how encoder-skip / guidance features enter the
     # decoder: "concat" (concat + conv) or "add".
     fusion: str = "concat"

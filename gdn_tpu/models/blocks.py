@@ -314,9 +314,25 @@ class UpBlock(nn.Module):
             x = ConvBlock(self.features, kernel=3, cfg=self.cfg)(x)
         elif self.cfg.upsample == "deconv":
             use_gn = self.cfg.norm == "group" and self.cfg.deconv_gn
+            if self.cfg.deconv_init == "bilinear":
+                # 6x6 kernel = bilinear-2x ∘ lecun-3x3 (ops/resize.py):
+                # at init this branch IS the resize_conv branch on
+                # interior pixels — no checkerboard start.
+                from gdn_tpu.ops.resize import compose_bilinear_deconv_kernel
+
+                def kernel_init(key, shape, dtype=jnp.float32):
+                    cin, cout = shape[2], shape[3]
+                    k3 = nn.initializers.lecun_normal()(
+                        key, (3, 3, cin, cout), dtype
+                    )
+                    return compose_bilinear_deconv_kernel(k3)
+
+                ksize, kinit = (6, 6), kernel_init
+            else:
+                ksize, kinit = (4, 4), nn.initializers.lecun_normal()
             x = nn.ConvTranspose(
-                self.features, (4, 4), strides=(2, 2), padding="SAME",
-                use_bias=not use_gn,
+                self.features, ksize, strides=(2, 2), padding="SAME",
+                use_bias=not use_gn, kernel_init=kinit,
                 dtype=self.cfg.compute_dtype, param_dtype=jnp.float32,
             )(x)
             # Exact-size guarantee regardless of parity of the input.

@@ -53,6 +53,31 @@ def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     return _resize(x, size, "nearest")
 
 
+def compose_bilinear_deconv_kernel(k3: jnp.ndarray) -> jnp.ndarray:
+    """Compose a 3x3 conv kernel with the exact-2x bilinear upsample into
+    ONE (6, 6, cin, cout) stride-2 ``conv_transpose`` kernel.
+
+    With ``lax.conv_transpose(x, W6, strides=(2, 2), padding="SAME")``
+    the result equals ``conv3x3_SAME(resize_bilinear(x, 2x))`` on all
+    interior output pixels (verified to float rounding in
+    tests/test_models.py); only the outer ring differs (zero padding vs
+    the resize's edge clamp).  Used as the ``deconv_init="bilinear"``
+    initializer so the deconv decoder starts as the SAME function as
+    the resize_conv decoder — removing the init confound (checkerboard
+    artifacts) from the deconv-vs-resize_conv convergence comparison
+    while keeping deconv's single-op throughput.
+    """
+    b = jnp.asarray([0.25, 0.75, 0.75, 0.25], k3.dtype)
+    b2 = b[:, None] * b[None, :]  # (4, 4) separable bilinear taps
+    w = jnp.zeros((6, 6, *k3.shape[2:]), k3.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            w = w.at[dy:dy + 4, dx:dx + 4].add(
+                b2[:, :, None, None] * k3[dy, dx][None, None]
+            )
+    return w
+
+
 def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
     """Exact-2x bilinear upsample of (B, H, W, C), half-pixel centers,
     edge clamp — bit-identical to ``resize_bilinear(x, (2H, 2W))`` in

@@ -197,3 +197,48 @@ def test_multiscale_heads_shapes_and_default_off():
         np.asarray(scales[-1]), np.asarray(out["depth"])
     )
     assert "head0" in p_on["decoder"]
+
+
+def test_deconv_bilinear_init_composes_resize_conv():
+    """deconv_init="bilinear": the 6x6 stride-2 ConvTranspose kernel
+    composed by ops.resize.compose_bilinear_deconv_kernel must make the
+    flax deconv branch compute conv3x3(resize_bilinear_2x(x)) on
+    interior pixels at init (the resize_conv branch's function — the
+    de-confounded starting point for the convergence comparison)."""
+    import dataclasses
+
+    from gdn_tpu.models.blocks import UpBlock
+    from gdn_tpu.ops.resize import (
+        compose_bilinear_deconv_kernel,
+        resize_bilinear,
+    )
+
+    rng = np.random.RandomState(0)
+    cin, cout, h, w = 16, 8, 8, 12
+    x = jnp.asarray(rng.randn(2, h, w, cin).astype(np.float32))
+    k3 = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * 0.1)
+
+    ref = jax.lax.conv_general_dilated(
+        resize_bilinear(x, (2 * h, 2 * w)), k3, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    ref = jax.nn.elu(ref)
+
+    cfg = dataclasses.replace(
+        SMALL, upsample="deconv", deconv_init="bilinear", deconv_gn=False
+    )
+    blk = UpBlock(cout, cfg=cfg)
+    variables = blk.init(jax.random.PRNGKey(1), x, (2 * h, 2 * w))
+    # kernel shape sanity: the bilinear-composed 6x6
+    assert variables["params"]["ConvTranspose_0"]["kernel"].shape == (
+        6, 6, cin, cout,
+    )
+    params = jax.tree.map(lambda t: t, variables["params"])
+    params["ConvTranspose_0"]["kernel"] = compose_bilinear_deconv_kernel(k3)
+    params["ConvTranspose_0"]["bias"] = jnp.zeros((cout,), jnp.float32)
+    got = blk.apply({"params": params}, x, (2 * h, 2 * w))
+    np.testing.assert_allclose(
+        np.asarray(got)[:, 3:-3, 3:-3, :],
+        np.asarray(ref)[:, 3:-3, 3:-3, :],
+        rtol=1e-5, atol=1e-5,
+    )
