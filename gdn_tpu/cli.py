@@ -28,9 +28,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="disable Pallas kernels (XLA fallback)")
     p.add_argument("--upsample", choices=["resize_conv", "deconv"],
                    default=None,
-                   help="decoder upsampling style: resize_conv (default; "
-                        "artifact-free) or deconv (the reference's style; "
-                        "measured +42%% step throughput, BASELINE.md)")
+                   help="decoder upsampling style: deconv (default; the "
+                        "reference's style — with the bilinear-composed "
+                        "init it converges best AND runs +36%% faster, "
+                        "BASELINE.md) or resize_conv (round-2/3 default; "
+                        "needed to load pre-round-3 checkpoints)")
     p.add_argument("--deconv_init", choices=["lecun", "bilinear"],
                    default=None,
                    help="deconv kernel init: lecun (4x4, flax default) or "

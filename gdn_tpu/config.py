@@ -57,10 +57,16 @@ class ModelConfig:
     gn_analytic_vjp: bool = True
     # Activation inside conv blocks. ELU is standard in depth nets.
     activation: str = "elu"
-    # Upsampling style: "resize_conv" (bilinear resize + conv; avoids the
-    # conv_transpose output-padding pitfalls flagged in SURVEY.md §7 and
-    # checkerboard artifacts) or "deconv" (stride-2 conv_transpose).
-    upsample: str = "resize_conv"
+    # Upsampling style: "deconv" (stride-2 conv_transpose — the
+    # reference's own style, SURVEY §2.3) or "resize_conv" (bilinear
+    # resize + conv).  History: rounds 2-3 defaulted to resize_conv
+    # because randomly-initialized deconv converged worse (a1 0.874 vs
+    # 0.920) — but that deficit was entirely the checkerboard-prone
+    # random init, not the operator: with deconv_init="bilinear" the
+    # deconv decoder starts as the resize_conv function and converges
+    # BETTER (a1 0.932 vs 0.920 mean over 3 seeds) at +36% step
+    # throughput (2627 vs 1930 imgs/sec B=128; BASELINE.md round 3).
+    upsample: str = "deconv"
     # GroupNorm+activation epilogue on the deconv upsample branch.
     # Measured (round 3, BASELINE.md): costs ~9% step throughput (2494
     # vs 2731 imgs/sec at B=128) and does NOT close the deconv
@@ -76,8 +82,11 @@ class ModelConfig:
     # computes the SAME function as the resize_conv decoder on interior
     # pixels (no checkerboard).  Built to de-confound the deconv
     # convergence comparison (round-2/3 rejected deconv on a1; both
-    # rejected variants started from checkerboard-prone random inits).
-    deconv_init: str = "lecun"
+    # rejected variants started from checkerboard-prone random inits) —
+    # and it resolved it: bilinear-init deconv converges BETTER than
+    # resize_conv (a1 0.929/0.927/0.939 vs 0.920 over seeds 0-2,
+    # BASELINE.md), so it is the default.
+    deconv_init: str = "bilinear"
     # Guidance fusion: how encoder-skip / guidance features enter the
     # decoder: "concat" (concat + conv) or "add".
     fusion: str = "concat"

@@ -79,4 +79,9 @@ def test_no_pallas_flag():
 def test_upsample_flag():
     cfg = build_config(_parse(["--upsample", "deconv"]))
     assert cfg.model.upsample == "deconv"
-    assert build_config(_parse([])).model.upsample == "resize_conv"
+    assert build_config(_parse([])).model.upsample == "deconv"
+    assert build_config(_parse([])).model.deconv_init == "bilinear"
+    cfg = build_config(_parse(["--upsample", "resize_conv"]))
+    assert cfg.model.upsample == "resize_conv"
+    cfg = build_config(_parse(["--deconv_init", "lecun"]))
+    assert cfg.model.deconv_init == "lecun"

@@ -11,10 +11,11 @@ correctness evidence available in an environment with an empty
 reference checkout (VERDICT round 2, missing item 1).
 
 Only the default configuration surface is mirrored:
-  norm="group" (eps 1e-6), activation="elu", upsample="resize_conv",
-  fusion="concat", fp32 compute, no weight decay / clipping, jnp loss
-  path (the Pallas kernel is TPU-only and equivalence-tested
-  separately in tests/test_kernels.py).
+  norm="group" (eps 1e-6), activation="elu", upsample="deconv" (the
+  default; "resize_conv" also mirrored), fusion="concat", fp32
+  compute, no weight decay / clipping, jnp loss path (the Pallas
+  kernel is TPU-only and equivalence-tested separately in
+  tests/test_kernels.py).
 """
 
 from __future__ import annotations
@@ -91,6 +92,25 @@ def _resize2x(x: torch.Tensor, target_hw) -> torch.Tensor:
                          align_corners=False, antialias=False)
 
 
+def _deconv_same2x(x: torch.Tensor, kernel_hwio: torch.Tensor,
+                   bias: torch.Tensor) -> torch.Tensor:
+    """flax ``nn.ConvTranspose(k, strides=2, padding="SAME")`` on NCHW.
+
+    lax.conv_transpose (transpose_kernel=False) is an input-dilated
+    CORRELATION with the un-flipped kernel and symmetric k//2 padding —
+    NOT torch's conv_transpose2d (which flips).  Probe-verified exact
+    (maxdiff 5e-7) against the flax module for k=6, stride 2.
+    """
+    k = kernel_hwio.shape[0]
+    b, c, h, w = x.shape
+    xd = torch.zeros(b, c, 2 * h - 1, 2 * w - 1, dtype=x.dtype)
+    xd[:, :, ::2, ::2] = x
+    pad = k // 2
+    xd = F.pad(xd, (pad, k - pad, pad, k - pad))
+    weight = kernel_hwio.permute(3, 2, 0, 1)  # HWIO -> OIHW, no flip
+    return F.conv2d(xd, weight, bias=bias)
+
+
 class TorchGDN:
     """Functional torch twin of DtoDNet / RtoDNet.
 
@@ -133,12 +153,20 @@ class TorchGDN:
 
     def _up_block(self, x, target_hw, lateral, prefix, features):
         c = self.cfg
-        assert c.upsample == "resize_conv" and c.norm == "group"
-        x = _resize2x(x, target_hw)
-        y = _conv_same(x, self.p[f"{prefix}/up_kernel"])
-        groups = pick_groups(features, c.group_norm_groups)
-        x = _gn_elu(y, self.p[f"{prefix}/up_scale"],
-                    self.p[f"{prefix}/up_bias"], groups)
+        assert c.norm == "group"
+        if c.upsample == "deconv":
+            assert not c.deconv_gn
+            x = _deconv_same2x(x, self.p[f"{prefix}/ConvTranspose_0/kernel"],
+                               self.p[f"{prefix}/ConvTranspose_0/bias"])
+            assert x.shape[2:4] == tuple(target_hw), "odd sizes unmirrored"
+            x = F.elu(x)
+        else:
+            assert c.upsample == "resize_conv"
+            x = _resize2x(x, target_hw)
+            y = _conv_same(x, self.p[f"{prefix}/up_kernel"])
+            groups = pick_groups(features, c.group_norm_groups)
+            x = _gn_elu(y, self.p[f"{prefix}/up_scale"],
+                        self.p[f"{prefix}/up_bias"], groups)
         return self._fusion(x, lateral, f"{prefix}/fuse", features)
 
     def decoder(self, latent, skips):
