@@ -30,9 +30,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    default=None,
                    help="decoder upsampling style: deconv (default; the "
                         "reference's style — with the bilinear-composed "
-                        "init it converges best AND runs +36%% faster, "
-                        "BASELINE.md) or resize_conv (round-2/3 default; "
-                        "needed to load pre-round-3 checkpoints)")
+                        "init it converges at parity and runs +36%% "
+                        "faster, BASELINE.md) or resize_conv (round-2/3 "
+                        "default; loads pre-round-3 checkpoints)")
     p.add_argument("--deconv_init", choices=["lecun", "bilinear"],
                    default=None,
                    help="deconv kernel init: lecun (4x4, flax default) or "

@@ -64,7 +64,7 @@ class ModelConfig:
     # 0.920) — but that deficit was entirely the checkerboard-prone
     # random init, not the operator: with deconv_init="bilinear" the
     # deconv decoder starts as the resize_conv function and converges
-    # BETTER (a1 0.932 vs 0.920 mean over 3 seeds) at +36% step
+    # at parity (a1 0.932 vs 0.927 mean over 3 seeds) at +36% step
     # throughput (2627 vs 1930 imgs/sec B=128; BASELINE.md round 3).
     upsample: str = "deconv"
     # GroupNorm+activation epilogue on the deconv upsample branch.
@@ -83,9 +83,9 @@ class ModelConfig:
     # pixels (no checkerboard).  Built to de-confound the deconv
     # convergence comparison (round-2/3 rejected deconv on a1; both
     # rejected variants started from checkerboard-prone random inits) —
-    # and it resolved it: bilinear-init deconv converges BETTER than
-    # resize_conv (a1 0.929/0.927/0.939 vs 0.920 over seeds 0-2,
-    # BASELINE.md), so it is the default.
+    # and it resolved it: bilinear-init deconv converges at parity
+    # with resize_conv (a1 0.929/0.927/0.939 vs 0.920/0.920/0.940 over
+    # seeds 0-2, BASELINE.md), so deconv is the default.
     deconv_init: str = "bilinear"
     # Guidance fusion: how encoder-skip / guidance features enter the
     # decoder: "concat" (concat + conv) or "add".
