@@ -87,6 +87,11 @@ class ModelConfig:
     # with resize_conv (a1 0.929/0.927/0.939 vs 0.920/0.920/0.940 over
     # seeds 0-2, BASELINE.md), so deconv is the default.
     deconv_init: str = "bilinear"
+    # Output-form custom VJP for the deconv branch's bare ELU
+    # (ops/elu.py): the backward derives elu' from the OUTPUT (y>0 ? 1
+    # : y+1, exact), so the pre-activation is never materialized as a
+    # residual — saves a feature-map HBM write+read per decoder scale.
+    elu_outform_vjp: bool = False
     # Guidance fusion: how encoder-skip / guidance features enter the
     # decoder: "concat" (concat + conv) or "add".
     fusion: str = "concat"

@@ -357,6 +357,10 @@ class UpBlock(nn.Module):
                     (self.features,), jnp.float32,
                 )
                 x = _group_norm_act(x, scale, bias, groups, self.cfg)
+            elif self.cfg.activation == "elu" and self.cfg.elu_outform_vjp:
+                from gdn_tpu.ops.elu import elu_saveout
+
+                x = elu_saveout(x)
             else:
                 x = activation_fn(self.cfg.activation)(x)
         else:

@@ -180,3 +180,68 @@ def test_gn_analytic_vjp_step_matches_default(rng):
         np.testing.assert_allclose(
             np.asarray(pa), np.asarray(pb), rtol=5e-3, atol=2e-5
         )
+
+
+def test_elu_saveout_value_and_grad(rng):
+    """ops/elu.elu_saveout: forward bit-equal to jax.nn.elu; gradient
+    exact vs autodiff (elu' from the OUTPUT: y>0 ? 1 : y+1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdn_tpu.ops.elu import elu_saveout
+
+    for dtype in (np.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.standard_normal((4, 8, 8, 16)), dtype) * 3.0
+        np.testing.assert_array_equal(
+            np.asarray(elu_saveout(x), np.float32),
+            np.asarray(jax.nn.elu(x), np.float32),
+        )
+        g = jnp.asarray(rng.standard_normal((4, 8, 8, 16)), dtype)
+        ga = jax.vjp(jax.nn.elu, x)[1](g)[0]
+        gb = jax.vjp(elu_saveout, x)[1](g)[0]
+        # exp(x) vs y+1: identical reals, one bf16 rounding apart
+        np.testing.assert_allclose(
+            np.asarray(ga, np.float32), np.asarray(gb, np.float32),
+            rtol=2e-2 if dtype == jnp.bfloat16 else 1e-6, atol=1e-6,
+        )
+
+
+def test_elu_outform_vjp_step_matches_default(rng):
+    """elu_outform_vjp=True must not change the stage-1 forward (bit)
+    nor the parameter update beyond dtype-rounding noise."""
+    import dataclasses
+
+    import jax
+
+    from gdn_tpu.config import kitti_config
+    from gdn_tpu.data.synthetic import synthetic_batch
+    from gdn_tpu.models import DtoDNet
+    from gdn_tpu.train.state import create_state
+    from gdn_tpu.train.steps import make_stage1_step
+
+    def run(outform):
+        cfg = kitti_config(**{
+            "model.image_size": (32, 64),
+            "data.batch_size": 2,
+            "train.ckpt_dir": "",
+        })
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, elu_outform_vjp=outform)
+        )
+        assert cfg.model.upsample == "deconv"  # the branch under test
+        state = create_state(DtoDNet(cfg=cfg.model), (1, 32, 64, 1),
+                             cfg.train, 1)
+        step = make_stage1_step(cfg)
+        batch = synthetic_batch(jax.random.PRNGKey(0), 2, 32, 64, 80.0)
+        state, terms = step(state, batch)
+        return float(terms["total"]), state.params
+
+    loss_a, params_a = run(False)
+    loss_b, params_b = run(True)
+    assert loss_a == loss_b  # forward is bit-identical
+    for pa, pb in zip(jax.tree_util.tree_leaves(params_a),
+                      jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pb), rtol=5e-3, atol=2e-5
+        )
