@@ -91,7 +91,10 @@ class ModelConfig:
     # (ops/elu.py): the backward derives elu' from the OUTPUT (y>0 ? 1
     # : y+1, exact), so the pre-activation is never materialized as a
     # residual — saves a feature-map HBM write+read per decoder scale.
-    elu_outform_vjp: bool = False
+    # TPU-measured on the stage-2 step (B=128, two interleaved A/B
+    # pairs): on 2647.0/2641.0 vs off 2614.8/2535.9 imgs/sec (+1-4%),
+    # neutral at B=32 — default on (BASELINE.md).
+    elu_outform_vjp: bool = True
     # Guidance fusion: how encoder-skip / guidance features enter the
     # decoder: "concat" (concat + conv) or "add".
     fusion: str = "concat"
