@@ -33,6 +33,16 @@ def _batch(seed=0, b=8):
     return synthetic_batch(jax.random.PRNGKey(seed), b, 32, 64, 80.0)
 
 
+# Program-equivalence tolerance for tests that compare the SAME train
+# math compiled as two different XLA programs (scan-multistep vs
+# sequential steps, fused vs two-pass).  With the deconv decoder
+# default, ConvTranspose gradients reassociate differently across
+# program shapes: measured drift is ~4e-6 abs / ~1e-4 rel on params
+# after 3 Adam steps (resize_conv stays at ~2e-7).  Pure FP rounding,
+# not a math difference — /tmp bisect banked 2026-08-17.
+PROG_EQ = dict(rtol=3e-4, atol=1e-5)
+
+
 def _fresh_d_state():
     model = DtoDNet(cfg=TINY.model)
     return create_state(model, (1, 32, 64, 1), TINY.train, 10)
@@ -252,7 +262,7 @@ def test_multistep_scan_matches_sequential(d_state):
 
     assert float(t_seq["total"]) == pytest.approx(float(t_multi["total"]), rel=1e-5)
     for a, b in zip(jax.tree.leaves(seq.params), jax.tree.leaves(multi.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **PROG_EQ)
 
 
 def test_stage1_multistep_matches_sequential(d_state):
@@ -274,7 +284,7 @@ def test_stage1_multistep_matches_sequential(d_state):
 
     assert float(t_seq["total"]) == pytest.approx(float(t_multi["total"]), rel=1e-5)
     for a, b in zip(jax.tree.leaves(seq.params), jax.tree.leaves(multi.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **PROG_EQ)
 
 
 def test_train_loop_steps_per_call_on_mesh():
@@ -438,7 +448,7 @@ def test_multistep_sharded_on_mesh(d_state):
     s8, t8 = sharded(sb, d_state.params, stacked)
     assert float(t1["total"]) == pytest.approx(float(t8["total"]), rel=1e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **PROG_EQ)
 
 
 def test_flatten_optimizer_matches_unflattened(d_state):
@@ -751,8 +761,7 @@ def test_fused_guidance_step_matches_two_net_step(d_state):
             jax.tree_util.tree_flatten_with_path(s_b.params)[0],
         ):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
-                err_msg=str(kp),
+                np.asarray(a), np.asarray(b), err_msg=str(kp), **PROG_EQ
             )
 
 
@@ -840,8 +849,7 @@ def test_fused_encoders_step_matches_two_net_step(d_state):
         jax.tree_util.tree_flatten_with_path(s_b.params)[0],
     ):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
-            err_msg=str(kp),
+            np.asarray(a), np.asarray(b), err_msg=str(kp), **PROG_EQ
         )
 
 
