@@ -128,6 +128,20 @@ class ModelConfig:
     # deep encoder refining convs); default off until TPU-measured
     # (CLAUDE.md gating policy).
     use_pallas_convgn: bool = False
+    # v2 batch-tiled + column-packed + analytic-VJP variant
+    # (kernels/conv_gn_elu.py fused_conv_gn_elu_bt): fixes the three
+    # measured defects of v1 — per-image grid underfill (T images per
+    # tap matmul), the 128-lane padding tax on narrow blocks (C<128 is
+    # VIEWED as (H, W/p, p*C) with block-structured packed weights — a
+    # free reshape, not a padded copy), and the recompute backward
+    # (kernel emits (yn, inv) residuals; backward is the analytic
+    # two-reduce GN+ELU pair + standard conv gradients).  Covers every
+    # stride-1 refine conv in the ladder, including the C=32/64 blocks
+    # that hold most of the GN stat bytes.  Default off until
+    # TPU-measured (CLAUDE.md gating policy).
+    use_pallas_convgn_bt: bool = False
+    # Batch tile T for the bt kernel; pick_batch_tile caps it to VMEM.
+    convgn_bt_tile: int = 8
 
     @property
     def num_scales(self) -> int:

@@ -138,3 +138,297 @@ def _bwd(groups, eps, interpret, tap_dtype, residuals, g):
 
 
 fused_conv_gn_elu.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: batch-tiled + column-packed + analytic-VJP fused conv3x3+GN+ELU
+#
+# The round-3 per-image kernel above closed VERDICT r2 item 2 as a
+# measured negative for two structural reasons (BASELINE.md):
+#   1. grid=(B,) serializes B tiny matmuls per tap — at B=128 the MXU
+#      never fills ("per-image grid underfill");
+#   2. narrow channels (C=32/64 — the blocks holding most of the GN stat
+#      bytes) required pad_lanes to 128, a 4x/2x padded HBM copy that
+#      erased the fusion win ("128-lane padding tax");
+#   3. its backward recomputed the XLA reference forward.
+# This variant removes all three:
+#   1. BATCH TILING: T images' spatially pre-padded rows are stacked
+#      along the row axis (each image carries its own zero border, so a
+#      dy-shifted tap never mixes images) and each of the 9 tap matmuls
+#      contracts over the full (T*(H+2), W_e) row block — T x larger MXU
+#      ops, grid=(B/T,).
+#   2. COLUMN PACKING: for C < 128 the (H, W, C) map is viewed as
+#      (H, W/p, p*C) — a free, contiguous XLA reshape, NOT a padded
+#      copy — and the 3x3 conv becomes 9 packed taps with
+#      block-structured weights Wp[dy,dp][(a*Cin+ci),(b*Cout+co)] =
+#      K[dy, dp*p+a-b+1, ci, co]: same tap count, 128 busy lanes, and
+#      HBM traffic of exactly the real tensor.
+#   3. ANALYTIC VJP: the backward never recomputes the forward — it is
+#      the ops/groupnorm.py group_norm_elu_analytic backward (output-
+#      form ELU', two full-tensor reduces) followed by the standard XLA
+#      conv input/weight gradients, with residuals (yn, inv) emitted by
+#      the forward kernel itself.
+# ---------------------------------------------------------------------------
+
+
+def _pack_factor(cin: int, cout: int) -> int:
+    """Smallest p making both p*cin and p*cout multiples of 128 lanes."""
+    p = 1
+    while (p * cin) % 128 or (p * cout) % 128:
+        p *= 2
+        if p > 128:
+            raise ValueError(f"unpackable channels {cin}->{cout}")
+    return p
+
+
+def _pack_weights(k: jnp.ndarray, p: int) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) -> (3, 3, p*Cin, p*Cout) column-packed taps.
+
+    Output col J of the packed layout holds real cols J*p+b; tap dp of
+    packed input col J+dp lane (a*Cin+ci) contributes K[dy, dx, ci, co]
+    with dx = dp*p + a - b + 1 when 0 <= dx < 3 (algebra verified
+    against lax.conv in tests)."""
+    if p == 1:
+        return k
+    import numpy as np
+
+    sel = np.zeros((3, p, p, 3), np.float32)  # (dp, a, b, dx)
+    for dpi, dp in enumerate((-1, 0, 1)):
+        for a in range(p):
+            for b in range(p):
+                dx = dp * p + a - b + 1
+                if 0 <= dx < 3:
+                    sel[dpi, a, b, dx] = 1.0
+    wp = jnp.einsum("yxio,pabx->ypaibo", k, jnp.asarray(sel))
+    return wp.reshape(3, 3, p * k.shape[2], p * k.shape[3])
+
+
+def pick_batch_tile(
+    b: int, h: int, w: int, cin: int, cout: int,
+    budget: int = _VMEM_BUDGET,
+) -> int:
+    """Largest T in {8,4,2,1} dividing b whose working set fits VMEM."""
+    p = _pack_factor(cin, cout)
+    li, lo = p * cin, p * cout
+    wpk = w // p
+    w_e = tap_width(wpk)
+    wp_cols = w_e + 8
+    for t in (8, 4, 2, 1):
+        if b % t:
+            continue
+        rows = t * (h + 2)
+        work = (
+            (rows + 2) * wp_cols * li * 2      # input block (bf16)
+            + rows * w_e * lo * 4              # fp32 accumulator scratch
+            + 2 * rows * w_e * lo * 2          # a + yn outputs (bf16)
+            + 9 * li * lo * 2                  # packed weights (bf16)
+        )
+        if work < budget:
+            return t
+    return 0
+
+
+def supported_bt(b: int, h: int, w: int, cin: int, cout: int) -> bool:
+    """Gate: packable channels, packed width divisible, VMEM fit."""
+    try:
+        p = _pack_factor(cin, cout)
+    except ValueError:
+        return False
+    if w % p:
+        return False
+    return pick_batch_tile(b, h, w, cin, cout) > 0
+
+
+def _kernel_bt(x_ref, w_ref, scale_ref, bias_ref, a_ref, yn_ref, inv_ref,
+               acc_ref, *, groups, eps, cout, pack, img_h, wpk, t,
+               tap_dtype, out_dtype):
+    """One grid step: T stacked images -> conv taps -> per-image GN
+    stats -> normalize + affine + ELU -> (a, yn, inv)."""
+    rows = acc_ref.shape[0]          # T*(img_h+2)
+    w_e, lo = acc_ref.shape[1], acc_ref.shape[2]
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    # x_ref: (rows+2, wp, L_in) — row r of acc reads x rows r..r+2.
+    _conv3x3_rolled(x_ref.at[0], w_ref, acc_ref, rows, w_e, tap_dtype)
+    acc = acc_ref[...]               # (rows, w_e, L_out) fp32
+
+    # --- per-image GroupNorm statistics (masked to real cols/rows) ---
+    colmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (w_e, lo), 0) < wpk
+    ).astype(jnp.float32)
+    y = acc * colmask
+    rs1 = jnp.sum(y, axis=1)         # (rows, L)
+    rs2 = jnp.sum(y * y, axis=1)
+    hp2 = img_h + 2
+    # valid rows are 1..img_h inside each image's (img_h+2) band
+    rix = jax.lax.broadcasted_iota(jnp.int32, (t, hp2, lo), 1)
+    rmask = ((rix >= 1) & (rix <= img_h)).astype(jnp.float32)
+    s1 = jnp.sum(rs1.reshape(t, hp2, lo) * rmask, axis=1)   # (T, L)
+    s2 = jnp.sum(rs2.reshape(t, hp2, lo) * rmask, axis=1)
+    # lane -> group one-hot: packed lane j holds channel j % cout
+    cg = cout // groups
+    ch = jax.lax.broadcasted_iota(jnp.int32, (lo, groups), 0) % cout
+    gid = jax.lax.broadcasted_iota(jnp.int32, (lo, groups), 1)
+    gmat = ((ch // cg) == gid).astype(jnp.float32)          # (L, G)
+    n = jnp.float32(img_h * wpk * pack * cg)
+    mean_g = jnp.dot(s1, gmat, preferred_element_type=jnp.float32) / n
+    ex2_g = jnp.dot(s2, gmat, preferred_element_type=jnp.float32) / n
+    var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, gmat.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, gmat.T, preferred_element_type=jnp.float32)
+    # (T, L) fp32 residual, zero-padded to the 8-sublane block tile
+    inv_ref[0] = jnp.pad(inv_c, ((0, 8 - t), (0, 0)))
+
+    # --- normalize + affine + ELU, write valid rows per image ---
+    mean_r = jnp.broadcast_to(mean_c[:, None, :], (t, hp2, lo)).reshape(
+        rows, lo
+    )
+    inv_r = jnp.broadcast_to(inv_c[:, None, :], (t, hp2, lo)).reshape(
+        rows, lo
+    )
+    yn = (acc - mean_r[:, None, :]) * inv_r[:, None, :]
+    z = yn * scale_ref[...] + bias_ref[...]
+    a = jnp.where(z > 0, z, jnp.exp(jnp.minimum(z, 0.0)) - 1.0)
+    a4 = a.reshape(t, hp2, w_e, lo)
+    yn4 = yn.reshape(t, hp2, w_e, lo)
+    a_ref[...] = a4[:, 1:img_h + 1].astype(out_dtype)
+    yn_ref[...] = yn4[:, 1:img_h + 1].astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def fused_conv_gn_elu_bt(
+    x, w, scale, bias, groups: int = 8, eps: float = 1e-6,
+    batch_tile: int = 4, interpret: bool = False,
+    tap_dtype: str = "bfloat16",
+):
+    """Batch-tiled column-packed fused conv3x3(SAME) + GroupNorm + ELU.
+
+    Args: x (B, H, W, Cin) compute dtype; w (3, 3, Cin, Cout) fp32;
+    scale/bias (Cout,) fp32.  Returns (B, H, W, Cout) in x.dtype.
+    Training backward is analytic (never recomputes the forward); see
+    the module block comment.
+    """
+    out, _, _ = _conv_gn_elu_bt_all(
+        x, w, scale, bias, groups, eps, batch_tile, interpret, tap_dtype
+    )
+    return out
+
+
+def _conv_gn_elu_bt_all(
+    x, w, scale, bias, groups, eps, batch_tile, interpret, tap_dtype
+):
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    t = batch_tile
+    assert b % t == 0, (b, t)
+    p = _pack_factor(cin, cout)
+    assert wd % p == 0, (wd, p)
+    li, lo = p * cin, p * cout
+    wpk = wd // p
+    w_e = tap_width(wpk)
+    tdt = jnp.bfloat16 if tap_dtype == "bfloat16" else jnp.float32
+    # free, contiguous reshape — the packed view, NOT a padded copy
+    xp = pad_spatial1(x.reshape(b, h, wpk, li))
+    wp_cols = xp.shape[2]
+    rows = t * (h + 2)
+    xs = xp.reshape(b // t, rows, wp_cols, li)
+    xs = jnp.pad(xs, ((0, 0), (1, 1), (0, 0), (0, 0)))  # tap row margin
+    wpacked = _pack_weights(w, p).astype(tdt)
+    scale_l = jnp.tile(scale.astype(jnp.float32), p).reshape(1, lo)
+    bias_l = jnp.tile(bias.astype(jnp.float32), p).reshape(1, lo)
+    kernel = functools.partial(
+        _kernel_bt, groups=groups, eps=eps, cout=cout, pack=p,
+        img_h=h, wpk=wpk, t=t, tap_dtype=tdt, out_dtype=x.dtype,
+    )
+    a, yn, inv = pl.pallas_call(
+        kernel,
+        grid=(b // t,),
+        in_specs=[
+            pl.BlockSpec((1, rows + 2, wp_cols, li), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, li, lo), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lo), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lo), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t, h, w_e, lo), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, h, w_e, lo), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, lo), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w_e, lo), x.dtype),
+            jax.ShapeDtypeStruct((b, h, w_e, lo), x.dtype),
+            jax.ShapeDtypeStruct((b // t, 8, lo), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((rows, w_e, lo), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * 18 * h * wd * cin * cout,
+            bytes_accessed=b * h * wd * (cin + 2 * cout) * x.dtype.itemsize,
+            transcendentals=b * h * wd * cout,
+        ),
+    )(xs, wpacked, scale_l, bias_l)
+    # unpack: col-slice the real packed cols, then a free reshape
+    a = a[:, :, :wpk, :].reshape(b, h, wd, cout)
+    yn = yn[:, :, :wpk, :].reshape(b, h, wd, cout)
+    # drop the sublane padding; packed lanes repeat the per-channel inv
+    inv = inv[:, :t, :cout].reshape(b, cout)
+    return a, yn, inv
+
+
+def _bt_fwd(x, w, scale, bias, groups, eps, batch_tile, interpret,
+            tap_dtype):
+    a, yn, inv = _conv_gn_elu_bt_all(
+        x, w, scale, bias, groups, eps, batch_tile, interpret, tap_dtype
+    )
+    return a, (x, w, scale, bias, a, yn, inv)
+
+
+def _bt_bwd(groups, eps, batch_tile, interpret, tap_dtype, res, da):
+    """Analytic backward: output-form ELU' -> two-reduce GN backward
+    (the ops/groupnorm.py group_norm_elu_analytic math, driven by the
+    kernel-emitted yn/inv residuals) -> standard XLA conv gradients.
+    The forward is never recomputed."""
+    x, w, scale, bias, a, yn, inv = res
+    b, h, wd, c = yn.shape
+    cg = c // groups
+    dt = yn.dtype
+    sc = scale.astype(dt)
+    # ELU'(z) from the OUTPUT alone: a > 0 -> 1 else a + 1 (exact).
+    dz = jnp.where(a > 0, da, da * (a + 1.0))
+    dzf = dz.reshape(b, h * wd, c)
+    ynf = yn.reshape(b, h * wd, c)
+    s_dz = jnp.sum(dzf, axis=1, dtype=jnp.float32)          # (B, C)
+    s_dzyn = jnp.sum(dzf * ynf, axis=1, dtype=jnp.float32)  # (B, C)
+    dbias = jnp.sum(s_dz, axis=0)
+    dscale = jnp.sum(s_dzyn, axis=0)
+    from gdn_tpu.ops.groupnorm import _group_matrix
+
+    gmat = jnp.asarray(_group_matrix(c, groups))
+    n = h * wd * cg
+    scale32 = scale.astype(jnp.float32)
+    m1_c = (((s_dz * scale32) @ gmat) / n) @ gmat.T
+    m2_c = (((s_dzyn * scale32) @ gmat) / n) @ gmat.T
+    dy = (
+        dzf * sc
+        - m1_c.astype(dt)[:, None, :]
+        - ynf * m2_c.astype(dt)[:, None, :]
+    ) * inv.astype(dt)[:, None, :]
+    dy = dy.reshape(b, h, wd, c)
+    # conv gradients via the linear conv's VJP (primal output is dead
+    # code — XLA DCEs it; the backward runs exactly the standard
+    # input/weight gradient convs in the compute dtype).
+    conv = lambda xx, ww: jax.lax.conv_general_dilated(
+        xx, ww, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    _, conv_vjp = jax.vjp(conv, x, w.astype(dt))
+    dx, dw = conv_vjp(dy)
+    return dx.astype(x.dtype), dw.astype(w.dtype), dscale, dbias
+
+
+fused_conv_gn_elu_bt.defvjp(_bt_fwd, _bt_bwd)

@@ -122,28 +122,44 @@ class ConvBlock(nn.Module):
         bias = self.param(
             "gn_bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
-        use_fused = (
+        fusable = (
             c.use_pallas
-            and c.use_pallas_convgn
             and self.stride == 1
             and self.kernel == 3
             and c.activation == "elu"
             and jax.default_backend() == "tpu"
         )
-        if use_fused:
+        if fusable and c.use_pallas_convgn_bt:
+            # v2: batch-tiled column-packed kernel with analytic VJP —
+            # admits the narrow C=32/64 blocks via lane packing.
+            from gdn_tpu.kernels.conv_gn_elu import (
+                fused_conv_gn_elu_bt, pick_batch_tile, supported_bt,
+            )
+
+            b, h, w = x.shape[0], x.shape[1], x.shape[2]
+            if supported_bt(b, h, w, x.shape[-1], self.features):
+                t = min(
+                    c.convgn_bt_tile,
+                    pick_batch_tile(b, h, w, x.shape[-1], self.features),
+                )
+                while b % t:
+                    t -= 1
+                out = fused_conv_gn_elu_bt(
+                    x.astype(c.compute_dtype), kernel, scale, bias,
+                    groups, 1e-6, t, False, c.dtype,
+                )
+                return out.astype(c.compute_dtype)
+        if fusable and c.use_pallas_convgn:
             from gdn_tpu.kernels.conv_gn_elu import supported
 
-            use_fused = supported(
-                x.shape[1], x.shape[2], x.shape[-1], self.features
-            )
-        if use_fused:
-            from gdn_tpu.kernels.conv_gn_elu import fused_conv_gn_elu
+            if supported(x.shape[1], x.shape[2], x.shape[-1], self.features):
+                from gdn_tpu.kernels.conv_gn_elu import fused_conv_gn_elu
 
-            out = fused_conv_gn_elu(
-                x.astype(jnp.float32), kernel, scale, bias, groups,
-                1e-6, False, c.dtype,  # bf16 taps when model computes bf16
-            )
-            return out.astype(c.compute_dtype)
+                out = fused_conv_gn_elu(
+                    x.astype(jnp.float32), kernel, scale, bias, groups,
+                    1e-6, False, c.dtype,  # bf16 taps in bf16 models
+                )
+                return out.astype(c.compute_dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(c.compute_dtype),
             kernel.astype(c.compute_dtype),

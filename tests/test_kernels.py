@@ -341,3 +341,60 @@ def test_fused_conv_gn_elu_supported_gate():
     assert supported(32, 104, 128, 128)
     assert not supported(32, 104, 64, 64)   # narrow lanes: padding tax
     assert not supported(128, 416, 128, 128)  # VMEM blow-up per image
+
+
+@pytest.mark.parametrize(
+    "b,h,w,cin,cout,groups,t",
+    [
+        (4, 8, 16, 32, 32, 8, 2),    # pack p=4
+        (4, 6, 12, 64, 64, 8, 4),    # p=2, tile 4
+        (2, 8, 16, 128, 128, 8, 2),  # p=1 (lane-native)
+        (4, 8, 16, 32, 64, 8, 2),    # p=4 with cin != cout
+        (4, 5, 16, 16, 16, 4, 2),    # p=8, odd H
+    ],
+)
+def test_fused_conv_gn_elu_bt_matches_reference(
+    rng, b, h, w, cin, cout, groups, t
+):
+    """Batch-tiled column-packed variant: forward AND analytic VJP vs
+    the XLA reference autodiff, across pack factors 1/2/4/8."""
+    from gdn_tpu.kernels.conv_gn_elu import _reference, fused_conv_gn_elu_bt
+
+    x, w_, scale, bias = _convgn_data(rng, b=b, h=h, w=w, cin=cin, cout=cout)
+    out = fused_conv_gn_elu_bt(x, w_, scale, bias, groups, 1e-6, t, True,
+                               "float32")
+    ref = _reference(x, w_, scale, bias, groups, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    def f_fused(x, w_, scale, bias):
+        o = fused_conv_gn_elu_bt(x, w_, scale, bias, groups, 1e-6, t, True,
+                                 "float32")
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    def f_ref(x, w_, scale, bias):
+        o = _reference(x, w_, scale, bias, groups, 1e-6)
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    gf = jax.grad(f_fused, argnums=(0, 1, 2, 3))(x, w_, scale, bias)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2, 3))(x, w_, scale, bias)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_fused_conv_gn_elu_bt_gate():
+    from gdn_tpu.kernels.conv_gn_elu import pick_batch_tile, supported_bt
+
+    # KITTI stage-2 encoder ladder at B=128: every refine conv admits
+    # a tile (the narrow C=32/64 blocks pack to 128 lanes for free).
+    assert supported_bt(128, 64, 208, 32, 32)
+    assert supported_bt(128, 32, 104, 64, 64)
+    assert supported_bt(128, 16, 52, 128, 128)
+    assert supported_bt(128, 8, 26, 256, 256)
+    assert supported_bt(128, 4, 13, 512, 512)
+    assert pick_batch_tile(128, 64, 208, 32, 32) >= 2
+    # width not divisible by the pack factor -> unsupported
+    assert not supported_bt(128, 64, 207, 32, 32)
+    # c=48 needs p=8 (384 lanes); w=52 % 8 != 0 -> unsupported
+    assert not supported_bt(128, 16, 52, 48, 48)
