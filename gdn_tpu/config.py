@@ -142,6 +142,15 @@ class ModelConfig:
     use_pallas_convgn_bt: bool = False
     # Batch tile T for the bt kernel; pick_batch_tile caps it to VMEM.
     convgn_bt_tile: int = 8
+    # Stride-2 sibling (kernels/conv_gn_elu.py fused_conv_gn_elu_s2):
+    # covers the DownBlock stride-2 convs — the other half of the
+    # encoder GN stat bytes (with the deconv decoder default the
+    # encoder IS the GN budget).  Stride 2 rides the same packed view:
+    # W via an even input pack P (output packed by P/2), H via a free
+    # (2M, W') -> (M, 2W') row-pair-into-columns reshape, so all six
+    # taps stay static ref slices.  Default off until TPU-measured
+    # (CLAUDE.md gating policy).
+    use_pallas_convgn_s2: bool = False
 
     @property
     def num_scales(self) -> int:

@@ -58,10 +58,10 @@ def _kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, acc_ref,
     )
 
 
-def _reference(x, w, scale, bias, groups, eps):
+def _reference(x, w, scale, bias, groups, eps, strides=(1, 1)):
     """XLA reference: conv3x3 SAME -> GroupNorm(grouped) -> ELU."""
     y = jax.lax.conv_general_dilated(
-        x.astype(jnp.float32), w.astype(jnp.float32), (1, 1), "SAME",
+        x.astype(jnp.float32), w.astype(jnp.float32), strides, "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     b, h, wd, c = y.shape
@@ -389,10 +389,15 @@ def _bt_fwd(x, w, scale, bias, groups, eps, batch_tile, interpret,
 
 
 def _bt_bwd(groups, eps, batch_tile, interpret, tap_dtype, res, da):
+    return _analytic_bwd(res, da, groups, strides=(1, 1))
+
+
+def _analytic_bwd(res, da, groups, strides):
     """Analytic backward: output-form ELU' -> two-reduce GN backward
     (the ops/groupnorm.py group_norm_elu_analytic math, driven by the
     kernel-emitted yn/inv residuals) -> standard XLA conv gradients.
-    The forward is never recomputed."""
+    The forward is never recomputed.  Shared by the stride-1 bt and
+    stride-2 s2 fused kernels (only the conv strides differ)."""
     x, w, scale, bias, a, yn, inv = res
     b, h, wd, c = yn.shape
     cg = c // groups
@@ -423,7 +428,7 @@ def _bt_bwd(groups, eps, batch_tile, interpret, tap_dtype, res, da):
     # code — XLA DCEs it; the backward runs exactly the standard
     # input/weight gradient convs in the compute dtype).
     conv = lambda xx, ww: jax.lax.conv_general_dilated(
-        xx, ww, (1, 1), "SAME",
+        xx, ww, strides, "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     _, conv_vjp = jax.vjp(conv, x, w.astype(dt))
@@ -432,3 +437,281 @@ def _bt_bwd(groups, eps, batch_tile, interpret, tap_dtype, res, da):
 
 
 fused_conv_gn_elu_bt.defvjp(_bt_fwd, _bt_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2s: stride-2 variant — the encoder's OTHER conv+GN+ELU half.
+#
+# Every DownBlock pairs a stride-2 conv with the stride-1 refine conv
+# the bt kernel covers; both produce the same-sized feature map, so the
+# stride-2 convs hold the other ~half of the encoder GN stat bytes
+# (and with the deconv decoder default the decoder has no GN at all —
+# the encoder IS the GN stat budget).  Same three ideas as bt, plus
+# two stride-2-specific layout tricks that keep every tap a static
+# ref slice:
+#   - W direction: stride 2 rides the SAME packed view.  With input
+#     packed by an even P and output packed by P/2, real output col
+#     J = j*(P/2) + b reads input cols 2J+dx, which live in packed
+#     cols j+dp for dp in {0, 1} only: dx = dp*P + a - 2b.  Lane
+#     counts: li = P*Cin, lo = (P/2)*Cout.
+#   - H direction: the (2M, W', L) row-padded map is VIEWED as
+#     (M, 2*W', L) — a free reshape merging each row PAIR into the
+#     column axis.  Output row i taps rows 2i, 2i+1, 2i+2 = pair i
+#     (both halves) and pair i+1 (first half): three row taps at
+#     column offsets {0, W', 0} and leading offsets {0, 0, 1}.  All
+#     six (row, dp) taps are static slices of the proven bt layout.
+# SAME padding for stride 2 / kernel 3 is (low 0, high 1) in both
+# dims.  FLOP overhead vs the real conv is 2P/3 (the packed weight
+# matrix is block-sparse); the covered blocks are latency/
+# bandwidth-bound, not MXU-bound, so the trade is the same one bt
+# makes.  Backward shares _analytic_bwd with strides=(2, 2).
+# ---------------------------------------------------------------------------
+
+
+def _pack_factor_s2(cin: int, cout: int) -> int:
+    """Smallest EVEN input pack P with P*cin and (P/2)*cout both
+    multiples of 128 lanes."""
+    p = 2
+    while (p * cin) % 128 or ((p // 2) * cout) % 128:
+        p *= 2
+        if p > 256:
+            raise ValueError(f"unpackable s2 channels {cin}->{cout}")
+    return p
+
+
+def _pack_weights_s2(k: jnp.ndarray, p: int) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) -> (3, 2, P*Cin, (P/2)*Cout) packed taps.
+
+    Output packed col j lane (b*Cout+co) holds real out col j*(P/2)+b;
+    row tap rt (= orig dy) at packed input col j+dp lane (a*Cin+ci)
+    contributes K[rt, dx, ci, co] with dx = dp*P + a - 2b when
+    0 <= dx < 3 (verified against the strided lax.conv in tests)."""
+    import numpy as np
+
+    po = p // 2
+    sel = np.zeros((2, p, po, 3), np.float32)  # (dp, a, b, dx)
+    for dp in range(2):
+        for a in range(p):
+            for b in range(po):
+                dx = dp * p + a - 2 * b
+                if 0 <= dx < 3:
+                    sel[dp, a, b, dx] = 1.0
+    wp = jnp.einsum("yxio,dabx->ydaibo", k, jnp.asarray(sel))
+    return wp.reshape(3, 2, p * k.shape[2], po * k.shape[3])
+
+
+def pick_batch_tile_s2(
+    b: int, h: int, w: int, cin: int, cout: int,
+    budget: int = _VMEM_BUDGET,
+) -> int:
+    """Largest T in {8,4,2,1} dividing b whose working set fits VMEM."""
+    p = _pack_factor_s2(cin, cout)
+    li, lo = p * cin, (p // 2) * cout
+    wpk = w // p
+    w_e = tap_width(wpk)
+    wp_cols = w_e + 8
+    h2 = h // 2
+    m = h2 + 1
+    for t in (8, 4, 2, 1):
+        if b % t:
+            continue
+        work = (
+            (t * m + 1) * 2 * wp_cols * li * 2  # input block (bf16)
+            + t * m * w_e * lo * 4              # fp32 accumulator scratch
+            + 2 * t * h2 * w_e * lo * 2         # a + yn outputs (bf16)
+            + 6 * li * lo * 2                   # packed weights (bf16)
+        )
+        if work < budget:
+            return t
+    return 0
+
+
+def supported_s2(b: int, h: int, w: int, cin: int, cout: int) -> bool:
+    """Gate: even H, packable channels, packed width divisible, VMEM."""
+    if h % 2:
+        return False
+    try:
+        p = _pack_factor_s2(cin, cout)
+    except ValueError:
+        return False
+    if w % p:
+        return False
+    return pick_batch_tile_s2(b, h, w, cin, cout) > 0
+
+
+def _kernel_s2(x_ref, w_ref, scale_ref, bias_ref, a_ref, yn_ref, inv_ref,
+               acc_ref, *, groups, eps, cout, h2, wpk, wp_cols, t,
+               tap_dtype, out_dtype):
+    """One grid step: T stacked images -> 6 static tap matmuls ->
+    per-image GN stats -> normalize + affine + ELU -> (a, yn, inv)."""
+    rows = acc_ref.shape[0]          # T*M, M = h2+1 (last row garbage)
+    w_e, lo = acc_ref.shape[1], acc_ref.shape[2]
+    m = h2 + 1
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    # six static taps: rt in {0,1,2} (orig dy), dp in {0,1}
+    for rt in range(3):
+        pair_off, r = rt // 2, rt % 2
+        for dp in range(2):
+            col = r * wp_cols + dp
+            src = x_ref[0, pair_off:pair_off + rows,
+                        col:col + w_e, :].astype(tap_dtype)
+            wtap = w_ref[pl.ds(rt, 1), dp].reshape(
+                w_ref.shape[2], w_ref.shape[3]
+            ).astype(tap_dtype)
+            acc_ref[...] += jax.lax.dot_general(
+                src, wtap,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc = acc_ref[...]               # (rows, w_e, L_out) fp32
+
+    # --- per-image GroupNorm statistics (masked to real cols/rows) ---
+    colmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (w_e, lo), 0) < wpk
+    ).astype(jnp.float32)
+    y = acc * colmask
+    rs1 = jnp.sum(y, axis=1)         # (rows, L)
+    rs2 = jnp.sum(y * y, axis=1)
+    # valid rows are 0..h2-1 inside each image's M-row band
+    rix = jax.lax.broadcasted_iota(jnp.int32, (t, m, lo), 1)
+    rmask = (rix < h2).astype(jnp.float32)
+    s1 = jnp.sum(rs1.reshape(t, m, lo) * rmask, axis=1)   # (T, L)
+    s2 = jnp.sum(rs2.reshape(t, m, lo) * rmask, axis=1)
+    # lane -> group one-hot: packed lane j holds channel j % cout
+    cg = cout // groups
+    ch = jax.lax.broadcasted_iota(jnp.int32, (lo, groups), 0) % cout
+    gid = jax.lax.broadcasted_iota(jnp.int32, (lo, groups), 1)
+    gmat = ((ch // cg) == gid).astype(jnp.float32)        # (L, G)
+    n = jnp.float32(h2 * wpk * (lo // cout) * cg)
+    mean_g = jnp.dot(s1, gmat, preferred_element_type=jnp.float32) / n
+    ex2_g = jnp.dot(s2, gmat, preferred_element_type=jnp.float32) / n
+    var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, gmat.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, gmat.T, preferred_element_type=jnp.float32)
+    inv_ref[0] = jnp.pad(inv_c, ((0, 8 - t), (0, 0)))
+
+    # --- normalize + affine + ELU, write valid rows per image ---
+    mean_r = jnp.broadcast_to(mean_c[:, None, :], (t, m, lo)).reshape(
+        rows, lo
+    )
+    inv_r = jnp.broadcast_to(inv_c[:, None, :], (t, m, lo)).reshape(
+        rows, lo
+    )
+    yn = (acc - mean_r[:, None, :]) * inv_r[:, None, :]
+    z = yn * scale_ref[...] + bias_ref[...]
+    a = jnp.where(z > 0, z, jnp.exp(jnp.minimum(z, 0.0)) - 1.0)
+    a4 = a.reshape(t, m, w_e, lo)
+    yn4 = yn.reshape(t, m, w_e, lo)
+    a_ref[...] = a4[:, :h2].astype(out_dtype)
+    yn_ref[...] = yn4[:, :h2].astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def fused_conv_gn_elu_s2(
+    x, w, scale, bias, groups: int = 8, eps: float = 1e-6,
+    batch_tile: int = 4, interpret: bool = False,
+    tap_dtype: str = "bfloat16",
+):
+    """Batch-tiled column-packed fused conv3x3(stride 2, SAME) +
+    GroupNorm + ELU.
+
+    Args: x (B, H, W, Cin) compute dtype, H even, W % P == 0;
+    w (3, 3, Cin, Cout) fp32; scale/bias (Cout,) fp32.
+    Returns (B, H/2, W/2, Cout) in x.dtype.  Training backward is
+    analytic (shared _analytic_bwd, strides=(2, 2))."""
+    out, _, _ = _conv_gn_elu_s2_all(
+        x, w, scale, bias, groups, eps, batch_tile, interpret, tap_dtype
+    )
+    return out
+
+
+def _conv_gn_elu_s2_all(
+    x, w, scale, bias, groups, eps, batch_tile, interpret, tap_dtype
+):
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    t = batch_tile
+    assert b % t == 0, (b, t)
+    assert h % 2 == 0, h
+    p = _pack_factor_s2(cin, cout)
+    po = p // 2
+    assert wd % p == 0, (wd, p)
+    li, lo = p * cin, po * cout
+    wpk = wd // p
+    w_e = tap_width(wpk)
+    wp_cols = w_e + 8
+    h2 = h // 2
+    m = h2 + 1
+    tdt = jnp.bfloat16 if tap_dtype == "bfloat16" else jnp.float32
+    # rows: pad (0, 2) so pair m-1 = rows (h, h+1), both zero (SAME
+    # high pad); cols: packed view then right-pad only (SAME low pad
+    # is 0 for stride 2 / kernel 3)
+    xp = x.reshape(b, h, wpk, li)
+    xp = jnp.pad(xp, ((0, 0), (0, 2), (0, wp_cols - wpk), (0, 0)))
+    # free reshape: merge each row pair into the column axis
+    xp = xp.reshape(b, m, 2 * wp_cols, li)
+    xs = xp.reshape(b // t, t * m, 2 * wp_cols, li)
+    xs = jnp.pad(xs, ((0, 0), (0, 1), (0, 0), (0, 0)))  # cross-image tap
+    wpacked = _pack_weights_s2(w, p).astype(tdt)
+    scale_l = jnp.tile(scale.astype(jnp.float32), po).reshape(1, lo)
+    bias_l = jnp.tile(bias.astype(jnp.float32), po).reshape(1, lo)
+    kernel = functools.partial(
+        _kernel_s2, groups=groups, eps=eps, cout=cout,
+        h2=h2, wpk=wpk, wp_cols=wp_cols, t=t, tap_dtype=tdt,
+        out_dtype=x.dtype,
+    )
+    a, yn, inv = pl.pallas_call(
+        kernel,
+        grid=(b // t,),
+        in_specs=[
+            pl.BlockSpec((1, t * m + 1, 2 * wp_cols, li),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 2, li, lo), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lo), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lo), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((t, h2, w_e, lo), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, h2, w_e, lo), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, lo), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h2, w_e, lo), x.dtype),
+            jax.ShapeDtypeStruct((b, h2, w_e, lo), x.dtype),
+            jax.ShapeDtypeStruct((b // t, 8, lo), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((t * m, w_e, lo), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b * h2 * wpk * 12 * li * lo,
+            bytes_accessed=b * (h * wd * cin + 2 * h2 * (wd // 2) * cout)
+            * x.dtype.itemsize,
+            transcendentals=b * h2 * (wd // 2) * cout,
+        ),
+    )(xs, wpacked, scale_l, bias_l)
+    # unpack: col-slice the real packed cols, then a free reshape
+    w2 = wd // 2
+    a = a[:, :, :wpk, :].reshape(b, h2, w2, cout)
+    yn = yn[:, :, :wpk, :].reshape(b, h2, w2, cout)
+    inv = inv[:, :t, :cout].reshape(b, cout)
+    return a, yn, inv
+
+
+def _s2_fwd(x, w, scale, bias, groups, eps, batch_tile, interpret,
+            tap_dtype):
+    a, yn, inv = _conv_gn_elu_s2_all(
+        x, w, scale, bias, groups, eps, batch_tile, interpret, tap_dtype
+    )
+    return a, (x, w, scale, bias, a, yn, inv)
+
+
+def _s2_bwd(groups, eps, batch_tile, interpret, tap_dtype, res, da):
+    return _analytic_bwd(res, da, groups, strides=(2, 2))
+
+
+fused_conv_gn_elu_s2.defvjp(_s2_fwd, _s2_bwd)

@@ -129,6 +129,34 @@ class ConvBlock(nn.Module):
             and c.activation == "elu"
             and jax.default_backend() == "tpu"
         )
+        fusable_s2 = (
+            c.use_pallas
+            and c.use_pallas_convgn_s2
+            and self.stride == 2
+            and self.kernel == 3
+            and c.activation == "elu"
+            and jax.default_backend() == "tpu"
+        )
+        if fusable_s2:
+            # stride-2 sibling of the bt kernel (DownBlock downsampling
+            # convs — the other half of the encoder GN stat bytes).
+            from gdn_tpu.kernels.conv_gn_elu import (
+                fused_conv_gn_elu_s2, pick_batch_tile_s2, supported_s2,
+            )
+
+            b, h, w = x.shape[0], x.shape[1], x.shape[2]
+            if supported_s2(b, h, w, x.shape[-1], self.features):
+                t = min(
+                    c.convgn_bt_tile,
+                    pick_batch_tile_s2(b, h, w, x.shape[-1], self.features),
+                )
+                while b % t:
+                    t -= 1
+                out = fused_conv_gn_elu_s2(
+                    x.astype(c.compute_dtype), kernel, scale, bias,
+                    groups, 1e-6, t, False, c.dtype,
+                )
+                return out.astype(c.compute_dtype)
         if fusable and c.use_pallas_convgn_bt:
             # v2: batch-tiled column-packed kernel with analytic VJP —
             # admits the narrow C=32/64 blocks via lane packing.

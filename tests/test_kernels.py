@@ -398,3 +398,61 @@ def test_fused_conv_gn_elu_bt_gate():
     assert not supported_bt(128, 64, 207, 32, 32)
     # c=48 needs p=8 (384 lanes); w=52 % 8 != 0 -> unsupported
     assert not supported_bt(128, 16, 52, 48, 48)
+
+
+@pytest.mark.parametrize(
+    "b,h,w,cin,cout,groups,t",
+    [
+        (4, 8, 16, 32, 32, 8, 2),    # P=8 (down0 pattern: cin==cout)
+        (4, 8, 16, 32, 64, 8, 2),    # P=4 (channel-doubling DownBlock)
+        (4, 6, 12, 64, 128, 8, 2),   # P=2, odd H2
+        (2, 8, 16, 128, 128, 8, 2),  # P=2 (lane-native cin)
+        (4, 8, 16, 16, 32, 4, 4),    # P=8, tile 4
+    ],
+)
+def test_fused_conv_gn_elu_s2_matches_reference(
+    rng, b, h, w, cin, cout, groups, t
+):
+    """Stride-2 packed variant: forward AND analytic VJP vs the XLA
+    strided reference autodiff, across pack factors 2/4/8."""
+    from gdn_tpu.kernels.conv_gn_elu import _reference, fused_conv_gn_elu_s2
+
+    x, w_, scale, bias = _convgn_data(rng, b=b, h=h, w=w, cin=cin, cout=cout)
+    out = fused_conv_gn_elu_s2(x, w_, scale, bias, groups, 1e-6, t, True,
+                               "float32")
+    ref = _reference(x, w_, scale, bias, groups, 1e-6, strides=(2, 2))
+    assert out.shape == (b, h // 2, w // 2, cout)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    def f_fused(x, w_, scale, bias):
+        o = fused_conv_gn_elu_s2(x, w_, scale, bias, groups, 1e-6, t, True,
+                                 "float32")
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    def f_ref(x, w_, scale, bias):
+        o = _reference(x, w_, scale, bias, groups, 1e-6, strides=(2, 2))
+        return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+    gf = jax.grad(f_fused, argnums=(0, 1, 2, 3))(x, w_, scale, bias)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2, 3))(x, w_, scale, bias)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_fused_conv_gn_elu_s2_gate():
+    from gdn_tpu.kernels.conv_gn_elu import pick_batch_tile_s2, supported_s2
+
+    # KITTI stage-2 encoder DownBlock ladder at B=128 (128x416 input):
+    # every stride-2 conv admits a tile.
+    assert supported_s2(128, 128, 416, 32, 32)    # down0, P=8
+    assert supported_s2(128, 64, 208, 32, 64)     # down1, P=4
+    assert supported_s2(128, 32, 104, 64, 128)    # down2, P=2
+    assert supported_s2(128, 16, 52, 128, 256)    # down3, P=2
+    assert supported_s2(128, 8, 26, 256, 512)     # down4, P=2
+    assert pick_batch_tile_s2(128, 32, 104, 64, 128) >= 2
+    # odd H -> unsupported
+    assert not supported_s2(128, 63, 416, 32, 32)
+    # width not divisible by the pack factor -> unsupported
+    assert not supported_s2(128, 128, 412, 32, 32)
