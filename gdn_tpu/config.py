@@ -151,6 +151,14 @@ class ModelConfig:
     # taps stay static ref slices.  Default off until TPU-measured
     # (CLAUDE.md gating policy).
     use_pallas_convgn_s2: bool = False
+    # Batch-tiled fused FusionBlock (kernels/fusion_bt.py): the decoder
+    # half of the producer-fusion campaign.  concat(x, lateral) -> conv
+    # -> GN -> ELU runs as ONE op with the concat never materialized
+    # (split-weight tap accumulation) and the analytic (yn, inv)
+    # backward.  With the deconv decoder default the FusionBlocks hold
+    # ALL decoder GN stats.  Default off until TPU-measured (CLAUDE.md
+    # gating policy).
+    use_pallas_fusion_bt: bool = False
 
     @property
     def num_scales(self) -> int:

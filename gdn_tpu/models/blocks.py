@@ -256,6 +256,36 @@ class FusionBlock(nn.Module):
         else:
             bias = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
 
+        use_fused_bt = (
+            c.use_pallas
+            and c.use_pallas_fusion_bt
+            and use_gn
+            and c.activation == "elu"
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused_bt:
+            # v2 batch-tiled recipe (kernels/fusion_bt.py): concat never
+            # materialized, per-image GN stats in-kernel, analytic VJP.
+            from gdn_tpu.kernels.fusion_bt import (
+                fused_fusion_bt, pick_batch_tile_fb, supported_fb,
+            )
+
+            b, h, w = x.shape[0], x.shape[1], x.shape[2]
+            if supported_fb(b, h, w, cx, cl, cout):
+                t = min(
+                    c.convgn_bt_tile,
+                    pick_batch_tile_fb(b, h, w, cx, cl, cout),
+                )
+                while b % t:
+                    t -= 1
+                out = fused_fusion_bt(
+                    x.astype(c.compute_dtype),
+                    lateral.astype(c.compute_dtype),
+                    kernel[:, :, :cx, :], kernel[:, :, cx:, :],
+                    scale, bias, groups, 1e-6, t, False, c.dtype,
+                )
+                return out.astype(c.compute_dtype)
+
         use_fused = (
             c.use_pallas
             and c.use_pallas_fusion
