@@ -68,6 +68,8 @@ def save_checkpoint(
         # normalize: step may be a python int (fresh state) or an array
         "step": jnp.asarray(state.step, jnp.int32),
     }
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = state.ema_params
     mgr.save(step, args=ocp.args.StandardSave(payload))
     if not use_async:
         mgr.wait_until_finished()
@@ -95,16 +97,33 @@ def restore_checkpoint(
         "opt_state": state.opt_state,
         "step": jnp.asarray(state.step, jnp.int32),
     }
+    has_ema = getattr(state, "ema_params", None) is not None
+    if has_ema:
+        # EMA rides the payload iff the run tracks it (TrainConfig.
+        # ema_decay); pre-EMA checkpoints restore with ema=None intact.
+        template["ema_params"] = state.ema_params
     restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
-    return state.replace(
+    state = state.replace(
         params=restored["params"],
         opt_state=restored["opt_state"],
         step=restored["step"],
     )
+    if has_ema:
+        state = state.replace(ema_params=restored["ema_params"])
+    return state
 
 
-def load_params(ckpt_dir: str, params_template: Any, step: Optional[int] = None):
-    """Load only the params tree (eval/demo path)."""
+def load_params(
+    ckpt_dir: str,
+    params_template: Any,
+    step: Optional[int] = None,
+    key: str = "params",
+):
+    """Load only the params tree (eval/demo path).
+
+    ``key="ema_params"`` selects the Polyak-averaged weights saved by
+    EMA-tracking runs (TrainConfig.ema_decay; ``--use_ema`` on the
+    eval/demo/export CLIs)."""
     mgr = _manager(ckpt_dir, kind="pytree")
     mgr.reload()
     step = step if step is not None else mgr.latest_step()
@@ -113,10 +132,10 @@ def load_params(ckpt_dir: str, params_template: Any, step: Optional[int] = None)
     restored = mgr.restore(
         step,
         args=ocp.args.PyTreeRestore(
-            {"params": params_template}, partial_restore=True
+            {key: params_template}, partial_restore=True
         ),
     )
-    return restored["params"]
+    return restored[key]
 
 
 def transfer_stage1_decoder(

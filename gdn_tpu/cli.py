@@ -65,6 +65,15 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--decay_epochs", type=int, default=20)
     p.add_argument("--decay_gamma", type=float, default=0.5)
+    p.add_argument("--warmup_steps", type=int, default=0,
+                   help="linear 0->lr warmup over the first N optimizer "
+                        "steps before the step-decay schedule")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="track an EMA (Polyak) average of the params, "
+                        "saved in checkpoints and selectable at eval "
+                        "time with --use_ema (e.g. 0.999)")
+    p.add_argument("--grad_clip", type=float, default=None,
+                   help="clip gradients to this global norm")
     p.add_argument("--steps_per_epoch", type=int, default=1000,
                    help="steps per epoch for synthetic/unbounded data")
     p.add_argument("--steps_per_call", type=int, default=1,
@@ -128,6 +137,10 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
                    help="data-parallel eval over this many chips "
                         "(1 = single device; 0 = all; eval_batch must "
                         "divide the mesh size)")
+    p.add_argument("--use_ema", action="store_true",
+                   help="evaluate the EMA (Polyak-averaged) weights from "
+                        "an --ema_decay training run instead of the raw "
+                        "params")
 
 
 def build_config(args: argparse.Namespace) -> Config:
@@ -169,6 +182,9 @@ def build_config(args: argparse.Namespace) -> Config:
             "train.decay_gamma": args.decay_gamma,
             "train.steps_per_epoch": args.steps_per_epoch,
             "train.steps_per_call": args.steps_per_call,
+            "train.warmup_steps": args.warmup_steps,
+            "train.ema_decay": args.ema_decay,
+            "train.grad_clip": args.grad_clip,
             "train.fused_guidance": args.fused_guidance,
             "data.loader": args.loader,
             "train.freeze_decoder": not args.no_freeze_decoder,

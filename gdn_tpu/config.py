@@ -243,6 +243,17 @@ class TrainConfig:
     decay_epochs: int = 20
     decay_gamma: float = 0.5
     grad_clip: Optional[float] = None
+    # Linear LR warmup over the first N optimizer steps (0 = off):
+    # 0 -> lr, then the step-decay schedule takes over (shifted by N).
+    # The reference had no warmup; standard production stabilizer for
+    # large-batch runs (the B=128+ operating points this framework
+    # targets need it more than the reference's GPU batches did).
+    warmup_steps: int = 0
+    # Exponential moving average of the params (Polyak averaging),
+    # updated after every optimizer step: ema = d*ema + (1-d)*params.
+    # None = off.  EMA params ride the TrainState/checkpoint payload
+    # and can be selected at eval/demo/export time (--use_ema).
+    ema_decay: Optional[float] = None
     # Run the optimizer on a single flattened parameter vector
     # (optax.flatten): Adam over 65 small leaves costs ~65 latency-bound
     # fusions per step; one fused vector op replaces them.

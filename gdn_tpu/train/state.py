@@ -21,18 +21,34 @@ from gdn_tpu.config import TrainConfig
 
 
 class TrainState(train_state.TrainState):
-    """Standard flax TrainState; kept as a named subclass for clarity
-    and future extension (EMA, etc.)."""
+    """Flax TrainState + optional EMA (Polyak) parameter average.
+
+    ``ema_params`` is None when TrainConfig.ema_decay is unset — the
+    state pytree is then identical to round-2 checkpoints (backward
+    compatible); when set, the steps update it after every
+    apply_gradients and the checkpoint payload carries it.
+    """
+
+    ema_params: Any = None
 
 
 def lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
-    """lr * gamma^(epoch // decay_epochs), the reference's step decay."""
-    return optax.exponential_decay(
+    """lr * gamma^(epoch // decay_epochs), the reference's step decay,
+    optionally preceded by a linear 0 -> lr warmup (cfg.warmup_steps)."""
+    decay = optax.exponential_decay(
         init_value=cfg.lr,
         transition_steps=cfg.decay_epochs * steps_per_epoch,
         decay_rate=cfg.decay_gamma,
         staircase=True,
     )
+    if cfg.warmup_steps:
+        warmup = optax.linear_schedule(
+            init_value=0.0,
+            end_value=cfg.lr,
+            transition_steps=cfg.warmup_steps,
+        )
+        return optax.join_schedules([warmup, decay], [cfg.warmup_steps])
+    return decay
 
 
 def create_optimizer(
@@ -91,4 +107,13 @@ def create_state(
         )
         params = variables["params"]
     tx = create_optimizer(cfg, steps_per_epoch, freeze_decoder)
-    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    # EMA starts equal to the initial params (standard Polyak init).
+    # Real copies, not views: the train step donates the state, and
+    # aliased params/ema buffers would be donated twice.
+    ema = (
+        jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        if cfg.ema_decay else None
+    )
+    return TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx, ema_params=ema
+    )

@@ -28,6 +28,25 @@ from gdn_tpu.train.state import TrainState
 Batch = Dict[str, jnp.ndarray]
 
 
+def _apply_update(state: TrainState, grads, cfg: Config) -> TrainState:
+    """apply_gradients + the optional EMA (Polyak) parameter average.
+
+    The EMA update is two fused elementwise ops per leaf inside the
+    same jitted step (no extra dispatch); with ema_decay unset it is
+    a no-op and the program is unchanged.
+    """
+    new_state = state.apply_gradients(grads=grads)
+    d = cfg.train.ema_decay
+    if d and state.ema_params is not None:
+        new_ema = jax.tree.map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+            state.ema_params,
+            new_state.params,
+        )
+        new_state = new_state.replace(ema_params=new_ema)
+    return new_state
+
+
 def _maybe_remat(apply_fn, cfg: Config):
     """Wrap a flax apply in jax.checkpoint when cfg.train.remat: the
     backward then recomputes the forward instead of reading stored
@@ -156,7 +175,7 @@ def make_stage1_step(
     def step(state: TrainState, batch: Batch):
         grad_fn = jax.value_and_grad(_stage1_loss, has_aux=True)
         (_, terms), grads = grad_fn(state.params, state.apply_fn, batch, cfg)
-        new_state = state.apply_gradients(grads=grads)
+        new_state = _apply_update(state, grads, cfg)
         return new_state, terms
 
     return _jit_step(step, mesh, donate_state=True)
@@ -191,7 +210,7 @@ def make_stage2_step(
         def step(state: TrainState, d_params, batch: Batch):
             grad_fn = jax.value_and_grad(_stage2_loss_fused, has_aux=True)
             (_, terms), grads = grad_fn(state.params, d_params, batch, cfg)
-            new_state = state.apply_gradients(grads=grads)
+            new_state = _apply_update(state, grads, cfg)
             return new_state, terms
     else:
         def step(state: TrainState, d_params, batch: Batch):
@@ -199,7 +218,7 @@ def make_stage2_step(
             (_, terms), grads = grad_fn(
                 state.params, d_params, state.apply_fn, d_apply, batch, cfg
             )
-            new_state = state.apply_gradients(grads=grads)
+            new_state = _apply_update(state, grads, cfg)
             return new_state, terms
 
     if mesh is None:
@@ -229,7 +248,7 @@ def make_stage1_multistep(
             state = carry
             grad_fn = jax.value_and_grad(_stage1_loss, has_aux=True)
             (_, terms), grads = grad_fn(state.params, state.apply_fn, batch, cfg)
-            return state.apply_gradients(grads=grads), terms
+            return _apply_update(state, grads, cfg), terms
 
         state, terms = jax.lax.scan(body, state, batches)
         last = jax.tree.map(lambda t: t[-1], terms)
@@ -264,12 +283,12 @@ def make_stage2_multistep(
             if cfg.train.fused_guidance:
                 grad_fn = jax.value_and_grad(_stage2_loss_fused, has_aux=True)
                 (_, terms), grads = grad_fn(state.params, d_params, batch, cfg)
-                return state.apply_gradients(grads=grads), terms
+                return _apply_update(state, grads, cfg), terms
             grad_fn = jax.value_and_grad(_stage2_loss, has_aux=True)
             (_, terms), grads = grad_fn(
                 state.params, d_params, state.apply_fn, d_apply, batch, cfg
             )
-            return state.apply_gradients(grads=grads), terms
+            return _apply_update(state, grads, cfg), terms
 
         state, terms = jax.lax.scan(body, state, batches)
         last = jax.tree.map(lambda t: t[-1], terms)

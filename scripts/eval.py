@@ -50,7 +50,8 @@ def main():
             DtoDNet(cfg=cfg.model), (1, h, w, 1), cfg.train, 1
         )
         params = ckpt.load_params(
-            f"{cfg.train.ckpt_dir}/stage1", template.params
+            f"{cfg.train.ckpt_dir}/stage1", template.params,
+            key="ema_params" if args.use_ema else "params",
         )
         model = DtoDNet(cfg=cfg.model)
         forward = jax.jit(
@@ -73,7 +74,10 @@ def main():
             f"{cfg.train.ckpt_dir}/stage2_best" if args.best
             else f"{cfg.train.ckpt_dir}/stage2"
         )
-        params = ckpt.load_params(stage2_dir, template.params)
+        params = ckpt.load_params(
+            stage2_dir, template.params,
+            key="ema_params" if args.use_ema else "params",
+        )
         forward = make_eval_forward(cfg)
     mesh = None
     if args.num_devices != 1:
