@@ -26,6 +26,9 @@ def main():
                    help="also write an animated GIF with this name")
     p.add_argument("--cmap", type=str, default="magma")
     p.add_argument("--no_side_by_side", action="store_true")
+    p.add_argument("--use_ema", action="store_true",
+                   help="use the EMA (Polyak-averaged) weights from an "
+                        "--ema_decay training run")
     args = p.parse_args()
     apply_platform(args)
     cfg = build_config(args)
@@ -39,7 +42,10 @@ def main():
     template = create_state(
         RtoDNet(cfg=cfg.model), (1, h, w, 3), cfg.train, 1
     )
-    params = ckpt.load_params(f"{cfg.train.ckpt_dir}/stage2", template.params)
+    params = ckpt.load_params(
+        f"{cfg.train.ckpt_dir}/stage2", template.params,
+        key="ema_params" if args.use_ema else "params",
+    )
     written = run_demo(
         cfg, params, args.input, args.output,
         gif=args.gif or None, cmap=args.cmap,

@@ -23,6 +23,9 @@ def main():
     p.add_argument("--export_batch", type=int, default=1)
     p.add_argument("--platforms", nargs="*", default=None,
                    help="lowering platforms, e.g. --platforms tpu cpu")
+    p.add_argument("--use_ema", action="store_true",
+                   help="export the EMA (Polyak-averaged) weights from an "
+                        "--ema_decay training run")
     args = p.parse_args()
     apply_platform(args)
     cfg = build_config(args)
@@ -34,7 +37,10 @@ def main():
 
     h, w = cfg.model.image_size
     template = create_state(RtoDNet(cfg=cfg.model), (1, h, w, 3), cfg.train, 1)
-    params = ckpt.load_params(f"{cfg.train.ckpt_dir}/stage2", template.params)
+    params = ckpt.load_params(
+        f"{cfg.train.ckpt_dir}/stage2", template.params,
+        key="ema_params" if args.use_ema else "params",
+    )
     export_model(
         cfg, params, args.output,
         batch_size=args.export_batch, platforms=args.platforms,
