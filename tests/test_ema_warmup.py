@@ -75,6 +75,32 @@ def test_ema_off_keeps_state_shape():
     assert state.ema_params is None
 
 
+def test_ema_multistep_matches_single_steps():
+    """K=2 scan carries ema_params identically to two single steps."""
+    import jax.numpy as jnp
+
+    from gdn_tpu.train.steps import make_stage1_multistep
+
+    d = 0.5
+    cfg = dataclasses.replace(TINY, train=dataclasses.replace(
+        TINY.train, ema_decay=d))
+    s_a = create_state(DtoDNet(cfg=cfg.model), (1, 32, 64, 1), cfg.train, 10)
+    s_b = create_state(DtoDNet(cfg=cfg.model), (1, 32, 64, 1), cfg.train, 10)
+    b0, b1 = _batch(0), _batch(1)
+
+    step = make_stage1_step(cfg, mesh=None)
+    s_a, _ = step(s_a, b0)
+    s_a, _ = step(s_a, b1)
+
+    multistep = make_stage1_multistep(cfg, steps_per_call=2, mesh=None)
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), b0, b1)
+    s_b, _ = multistep(s_b, stacked)
+
+    for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, s_a.ema_params)),
+                    jax.tree.leaves(jax.tree.map(np.asarray, s_b.ema_params))):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_ema_checkpoint_roundtrip(tmp_path):
     from gdn_tpu import checkpoint as ckpt
 
