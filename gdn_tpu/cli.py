@@ -74,6 +74,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                         "time with --use_ema (e.g. 0.999)")
     p.add_argument("--grad_clip", type=float, default=None,
                    help="clip gradients to this global norm")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate gradients over N micro-batches per "
+                        "optimizer update (effective batch = N * "
+                        "batch_size)")
     p.add_argument("--steps_per_epoch", type=int, default=1000,
                    help="steps per epoch for synthetic/unbounded data")
     p.add_argument("--steps_per_call", type=int, default=1,
@@ -185,6 +189,7 @@ def build_config(args: argparse.Namespace) -> Config:
             "train.warmup_steps": args.warmup_steps,
             "train.ema_decay": args.ema_decay,
             "train.grad_clip": args.grad_clip,
+            "train.grad_accum": args.grad_accum,
             "train.fused_guidance": args.fused_guidance,
             "data.loader": args.loader,
             "train.freeze_decoder": not args.no_freeze_decoder,

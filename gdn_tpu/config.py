@@ -249,6 +249,12 @@ class TrainConfig:
     # large-batch runs (the B=128+ operating points this framework
     # targets need it more than the reference's GPU batches did).
     warmup_steps: int = 0
+    # Accumulate gradients over N micro-batches before each optimizer
+    # update (optax.MultiSteps, outermost so clipping/Adam see the
+    # averaged gradient).  Lets a memory-constrained chip train at an
+    # effective batch of N * batch_size; the LR schedule counts real
+    # updates, TrainState.step counts micro-steps (data consumed).
+    grad_accum: int = 1
     # Exponential moving average of the params (Polyak averaging),
     # updated after every optimizer step: ema = d*ema + (1-d)*params.
     # None = off.  EMA params ride the TrainState/checkpoint payload

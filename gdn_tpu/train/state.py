@@ -84,6 +84,10 @@ def create_optimizer(
         tx = optax.multi_transform(
             {"trainable": tx, "frozen": optax.set_to_zero()}, label_fn
         )
+    if cfg.grad_accum and cfg.grad_accum > 1:
+        # Outermost: clip/Adam/freeze all see the k-averaged gradient,
+        # applied once every k micro-steps (identity in between).
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
     return tx
 
 

@@ -18,6 +18,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh
 
 from gdn_tpu.config import Config
@@ -43,8 +44,25 @@ def _apply_update(state: TrainState, grads, cfg: Config) -> TrainState:
             state.ema_params,
             new_state.params,
         )
+        if cfg.train.grad_accum > 1:
+            # EMA averages optimizer UPDATES: on pure-accumulation
+            # micro-steps (params unchanged) keep the old average.
+            # MultiSteps is the outermost transform, so its state heads
+            # the opt_state; mini_step wraps to 0 right after an apply.
+            applied = _multisteps_state(new_state.opt_state).mini_step == 0
+            new_ema = jax.tree.map(
+                lambda ne, e: jnp.where(applied, ne, e),
+                new_ema, state.ema_params,
+            )
         new_state = new_state.replace(ema_params=new_ema)
     return new_state
+
+
+def _multisteps_state(opt_state):
+    """The optax.MultiStepsState, whether or not flax wrapped the chain."""
+    if isinstance(opt_state, optax.MultiStepsState):
+        return opt_state
+    return opt_state[0]
 
 
 def _maybe_remat(apply_fn, cfg: Config):
