@@ -97,6 +97,34 @@ def test_accum_with_frozen_decoder_and_clip():
     assert changed
 
 
+def test_accum_ema_mesh_matches_single_device():
+    """The production combination (grad_accum + EMA) on the 8-device
+    mesh agrees with the single-device path, including ema_params."""
+    import jax.numpy as jnp
+
+    from gdn_tpu.parallel.mesh import create_mesh, shard_batch
+
+    cfg = dataclasses.replace(TINY, train=dataclasses.replace(
+        TINY.train, grad_accum=2, ema_decay=0.9))
+    state = create_state(DtoDNet(cfg=cfg.model), (1, 32, 64, 1),
+                         cfg.train, 10)
+    mesh = create_mesh(8)
+    step_single = make_stage1_step(cfg, mesh=None)
+    step_mesh = make_stage1_step(cfg, mesh=mesh)
+    s_a = jax.tree.map(jnp.copy, state)
+    s_b = jax.tree.map(jnp.copy, state)
+    for seed in (0, 1):  # one full accumulation cycle
+        batch = _batch(seed, b=8)
+        s_a, _ = step_single(s_a, batch)
+        s_b, _ = step_mesh(s_b, shard_batch(batch, mesh))
+    for tree in ("params", "ema_params"):
+        for a, b in zip(_leaves(getattr(s_a, tree)),
+                        _leaves(getattr(s_b, tree))):
+            # rtol 5e-4: chanreduce GN reduce-ordering noise between the
+            # single-device and psum'd gradients (see test_train.py).
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-6)
+
+
 def test_cli_grad_accum_flag():
     import argparse
 
