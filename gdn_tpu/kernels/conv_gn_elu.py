@@ -34,6 +34,10 @@ from gdn_tpu.kernels.fusion_block import (
 )
 
 _VMEM_BUDGET = 12 * 1024 * 1024
+# Budget for the bt/s2 pickers, whose accounting includes Mosaic's
+# double-buffering of streamed blocks (measured honest to ~5%, always
+# conservative): 15 MB of the 16 MB scoped-VMEM hardware limit.
+_VMEM_BUDGET_BT = 15 * 1024 * 1024
 
 
 def supported(h: int, w: int, cin: int, cout: int) -> bool:
@@ -205,7 +209,7 @@ def _pack_weights(k: jnp.ndarray, p: int) -> jnp.ndarray:
 
 def pick_batch_tile(
     b: int, h: int, w: int, cin: int, cout: int,
-    budget: int = _VMEM_BUDGET,
+    budget: int = _VMEM_BUDGET_BT,
 ) -> int:
     """Largest T in {8,4,2,1} dividing b whose working set fits VMEM."""
     p = _pack_factor(cin, cout)
@@ -217,10 +221,14 @@ def pick_batch_tile(
         if b % t:
             continue
         rows = t * (h + 2)
+        # Mosaic DOUBLE-BUFFERS grid-streamed operands/results (measured
+        # on-TPU: the t=4 16x52x256 case allocates bf16[2,74,64,256] for
+        # the input window and OOMs scoped VMEM at 16.71/16.00 MB) — so
+        # streamed blocks count twice; only scratch + weights are single.
         work = (
-            (rows + 2) * wp_cols * li * 2      # input block (bf16)
+            2 * (rows + 2) * wp_cols * li * 2  # input block (bf16, 2-buf)
             + rows * w_e * lo * 4              # fp32 accumulator scratch
-            + 2 * rows * w_e * lo * 2          # a + yn outputs (bf16)
+            + 2 * 2 * rows * w_e * lo * 2      # a + yn outputs (bf16, 2-buf)
             + 9 * li * lo * 2                  # packed weights (bf16)
         )
         if work < budget:
@@ -502,7 +510,7 @@ def _pack_weights_s2(k: jnp.ndarray, p: int) -> jnp.ndarray:
 
 def pick_batch_tile_s2(
     b: int, h: int, w: int, cin: int, cout: int,
-    budget: int = _VMEM_BUDGET,
+    budget: int = _VMEM_BUDGET_BT,
 ) -> int:
     """Largest T in {8,4,2,1} dividing b whose working set fits VMEM."""
     p = _pack_factor_s2(cin, cout)
@@ -515,10 +523,12 @@ def pick_batch_tile_s2(
     for t in (8, 4, 2, 1):
         if b % t:
             continue
+        # streamed blocks are double-buffered by Mosaic (see
+        # pick_batch_tile) — input and a/yn outputs count twice.
         work = (
-            (t * m + 1) * 2 * wp_cols * li * 2  # input block (bf16)
+            2 * (t * m + 1) * 2 * wp_cols * li * 2  # input block (2-buf)
             + t * m * w_e * lo * 4              # fp32 accumulator scratch
-            + 2 * t * h2 * w_e * lo * 2         # a + yn outputs (bf16)
+            + 2 * 2 * t * h2 * w_e * lo * 2     # a + yn outputs (2-buf)
             + 6 * li * lo * 2                   # packed weights (bf16)
         )
         if work < budget:

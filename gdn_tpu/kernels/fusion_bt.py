@@ -47,7 +47,10 @@ from gdn_tpu.kernels.fusion_block import (
     _conv3x3_rolled, pad_spatial1, tap_width,
 )
 
-_VMEM_BUDGET = 12 * 1024 * 1024
+# Includes Mosaic's double-buffering of streamed blocks in the
+# accounting (see conv_gn_elu.pick_batch_tile) -> 15 MB of the 16 MB
+# scoped-VMEM hardware limit.
+_VMEM_BUDGET = 15 * 1024 * 1024
 
 
 def _pack_factor_fb(cx: int, cl: int, cout: int) -> int:
@@ -77,10 +80,12 @@ def pick_batch_tile_fb(
         if b % t:
             continue
         rows = t * (h + 2)
+        # streamed blocks are double-buffered by Mosaic (see
+        # conv_gn_elu.pick_batch_tile) — inputs and outputs count twice.
         work = (
-            (rows + 2) * wp_cols * (lx + ll) * 2  # both input blocks (bf16)
+            2 * (rows + 2) * wp_cols * (lx + ll) * 2  # input blocks (2-buf)
             + rows * w_e * lo * 4                 # fp32 accumulator scratch
-            + 2 * rows * w_e * lo * 2             # a + yn outputs (bf16)
+            + 2 * 2 * rows * w_e * lo * 2         # a + yn outputs (2-buf)
             + 9 * (lx + ll) * lo * 2              # both packed weights (bf16)
         )
         if work < budget:
