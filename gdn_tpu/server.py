@@ -1,0 +1,282 @@
+"""HTTP inference server with dynamic request batching.
+
+Completes the deployment story (SURVEY.md §2.8 demo → production
+serving, BASELINE north-star "production deployment and serving"):
+``serving.py`` provides the compiled fixed-batch predictor and the
+StableHLO export; this module puts a network front on it.
+
+TPU-first serving shape: one compiled program at a pinned batch size
+(static shapes — recompilation is the enemy), with a DYNAMIC BATCHER
+that coalesces concurrent requests into that batch.  The first request
+opens a window of ``max_wait_ms``; whatever arrives before the window
+closes (capped at ``batch_size``) rides the same device dispatch.
+Under load the batch fills instantly and the window never waits; at
+low traffic a lone request pays at most the window.  This is the
+standard production trade (throughput vs p50 latency) exposed as two
+knobs.
+
+Stdlib-only (http.server + threads): no web framework dependencies —
+deployable anywhere the library runs.  Endpoints:
+
+  GET  /healthz          -> {"status": "ok", ...}
+  GET  /stats            -> request/batch/occupancy/latency counters
+  POST /predict?format=F -> depth for one PNG/JPEG body; F in
+       npy (default, float32 meters, np.save bytes),
+       png16 (16-bit PNG, depth*256 mm — the KITTI GT encoding),
+       color (colorized PNG via ops/colormap).
+
+Input images of any size are host-resized (PIL bilinear) to the
+model's train resolution; the returned depth map is resized back to
+the request's resolution (same contract as demo.DepthPredictor).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+from PIL import Image
+
+from gdn_tpu.config import Config
+from gdn_tpu.serving import BatchedPredictor
+
+
+class _Pending:
+    """One in-flight request: input array + completion event."""
+
+    __slots__ = ("rgb", "event", "depth", "error", "t_submit")
+
+    def __init__(self, rgb: np.ndarray):
+        self.rgb = rgb
+        self.event = threading.Event()
+        self.depth: Optional[np.ndarray] = None
+        self.error: Optional[Exception] = None
+        self.t_submit = time.perf_counter()
+
+
+class DynamicBatcher:
+    """Coalesces concurrent predict calls into fixed-size device batches.
+
+    A single worker thread owns the compiled predictor (jax dispatch
+    stays single-threaded); callers block on a per-request event.
+    """
+
+    def __init__(self, cfg: Config, params, batch_size: int = 8,
+                 max_wait_ms: float = 5.0, *, timeout_s: float = 600.0):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.timeout_s = timeout_s
+        self._predictor = BatchedPredictor(cfg, params, batch_size)
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self.stats = {
+            "requests": 0,
+            "batches": 0,
+            "batched_items": 0,
+            "latency_ms_sum": 0.0,
+        }
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def predict(self, rgb: np.ndarray,
+                timeout: Optional[float] = None) -> np.ndarray:
+        """rgb (H, W, 3) float32 [0,1] at model resolution -> depth
+        (H, W) float32 meters.  Blocks until the batched result lands."""
+        p = _Pending(rgb)
+        self._queue.put(p)
+        if not p.event.wait(self.timeout_s if timeout is None else timeout):
+            raise TimeoutError("prediction timed out")
+        if p.error is not None:
+            raise p.error
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            self.stats["latency_ms_sum"] += (
+                time.perf_counter() - p.t_submit
+            ) * 1000.0
+        return p.depth
+
+    def stop(self) -> None:
+        self._queue.put(None)
+        self._worker.join(timeout=5.0)
+
+    # -- worker ----------------------------------------------------------
+    def _run(self) -> None:
+        while True:
+            first = self._queue.get()
+            if first is None:
+                return
+            batch = [first]
+            deadline = time.perf_counter() + self.max_wait_s
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._flush(batch)
+                    return
+                batch.append(nxt)
+            self._flush(batch)
+
+    def _flush(self, batch) -> None:
+        try:
+            rgbs = np.stack([p.rgb for p in batch])
+            depths = self._predictor.predict(rgbs)
+            for p, d in zip(batch, depths):
+                p.depth = d
+        except Exception as e:  # noqa: BLE001 - surfaced to every caller
+            for p in batch:
+                p.error = e
+        finally:
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["batched_items"] += len(batch)
+            for p in batch:
+                p.event.set()
+
+
+def _encode_depth(depth: np.ndarray, fmt: str, max_depth: float):
+    """depth (H, W) float32 meters -> (content_type, bytes)."""
+    if fmt == "npy":
+        buf = io.BytesIO()
+        np.save(buf, depth.astype(np.float32))
+        return "application/octet-stream", buf.getvalue()
+    if fmt == "png16":
+        # KITTI GT encoding: uint16 PNG at depth*256 mm (data/kitti.py).
+        d16 = np.clip(depth * 256.0, 0, 65535).astype(np.uint16)
+        buf = io.BytesIO()
+        Image.fromarray(d16, mode="I;16").save(buf, format="PNG")
+        return "image/png", buf.getvalue()
+    if fmt == "color":
+        from gdn_tpu.ops.colormap import colorize_depth
+
+        rgb = colorize_depth(depth, max_depth=max_depth)
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, format="PNG")
+        return "image/png", buf.getvalue()
+    raise ValueError(f"unknown format {fmt!r} (npy|png16|color)")
+
+
+class DepthServer:
+    """ThreadingHTTPServer wrapper around a DynamicBatcher."""
+
+    def __init__(self, cfg: Config, params, host: str = "127.0.0.1",
+                 port: int = 0, batch_size: int = 8,
+                 max_wait_ms: float = 5.0, warmup: bool = True,
+                 timeout_s: float = 600.0):
+        self.cfg = cfg
+        self.batcher = DynamicBatcher(
+            cfg, params, batch_size, max_wait_ms, timeout_s=timeout_s
+        )
+        if warmup:
+            # Compile the serving program BEFORE accepting traffic so
+            # the first request never pays the (minutes-scale on a cold
+            # TPU) jit compile inside its own latency budget.
+            th_, tw_ = cfg.model.image_size
+            self.batcher.predict(
+                np.zeros((th_, tw_, 3), np.float32), timeout=timeout_s
+            )
+        th, tw = cfg.model.image_size
+        max_depth = cfg.model.max_depth
+        batcher = self.batcher
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _json(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = urlparse(self.path).path
+                if path == "/healthz":
+                    self._json(200, {
+                        "status": "ok",
+                        "image_size": [th, tw],
+                        "batch_size": batcher.batch_size,
+                        "max_wait_ms": batcher.max_wait_s * 1000.0,
+                    })
+                elif path == "/stats":
+                    with batcher._stats_lock:
+                        s = dict(batcher.stats)
+                    n = max(s["requests"], 1)
+                    b = max(s["batches"], 1)
+                    s["mean_latency_ms"] = s.pop("latency_ms_sum") / n
+                    s["mean_batch_occupancy"] = s["batched_items"] / b
+                    self._json(200, s)
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                parsed = urlparse(self.path)
+                if parsed.path != "/predict":
+                    self._json(404, {"error": "not found"})
+                    return
+                fmt = parse_qs(parsed.query).get("format", ["npy"])[0]
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    img = Image.open(
+                        io.BytesIO(self.rfile.read(length))
+                    ).convert("RGB")
+                except Exception as e:  # noqa: BLE001
+                    self._json(400, {"error": f"bad image: {e}"})
+                    return
+                w0, h0 = img.size
+                x = np.asarray(
+                    img.resize((tw, th), Image.BILINEAR), np.float32
+                ) / 255.0
+                try:
+                    depth = batcher.predict(x)
+                    if (h0, w0) != (th, tw):
+                        depth = np.asarray(Image.fromarray(depth).resize(
+                            (w0, h0), Image.BILINEAR
+                        ))
+                    ctype, body = _encode_depth(depth, fmt, max_depth)
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # noqa: BLE001
+                    self._json(500, {"error": repr(e)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> None:
+        """Serve in a background thread (returns immediately)."""
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        self.batcher.stop()

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Inference-server entry point: HTTP depth-prediction service with
+dynamic request batching (gdn_tpu/server.py).
+
+Examples:
+  python scripts/serve.py --model_dir checkpoints --port 8500
+  python scripts/serve.py --model_dir checkpoints --use_ema \
+      --serve_batch 16 --max_wait_ms 8
+
+  curl -s -X POST --data-binary @img.png \
+      "http://127.0.0.1:8500/predict?format=color" > depth.png
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    from gdn_tpu.cli import add_common_args, apply_platform, build_config
+
+    add_common_args(p)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8500,
+                   help="0 picks an ephemeral port (printed on start)")
+    p.add_argument("--serve_batch", type=int, default=8,
+                   help="compiled batch size the dynamic batcher fills")
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="batching window opened by the first request")
+    p.add_argument("--request_timeout", type=float, default=600.0,
+                   help="per-request wait bound (seconds)")
+    p.add_argument("--use_ema", action="store_true",
+                   help="serve the EMA (Polyak-averaged) weights")
+    p.add_argument("--init_random", action="store_true",
+                   help="serve randomly initialized weights (no "
+                        "checkpoint needed; smoke tests only)")
+    args = p.parse_args()
+    apply_platform(args)
+    cfg = build_config(args)
+
+    from gdn_tpu import checkpoint as ckpt
+    from gdn_tpu.models import RtoDNet
+    from gdn_tpu.server import DepthServer
+    from gdn_tpu.train import create_state
+
+    h, w = cfg.model.image_size
+    template = create_state(
+        RtoDNet(cfg=cfg.model), (1, h, w, 3), cfg.train, 1
+    )
+    if args.init_random:
+        params = template.params
+    else:
+        params = ckpt.load_params(
+            f"{cfg.train.ckpt_dir}/stage2", template.params,
+            key="ema_params" if args.use_ema else "params",
+        )
+
+    print("warming up the serving program...", flush=True)
+    server = DepthServer(
+        cfg, params, host=args.host, port=args.port,
+        batch_size=args.serve_batch, max_wait_ms=args.max_wait_ms,
+        timeout_s=args.request_timeout,
+    )
+    print(f"serving on http://{args.host}:{server.port} "
+          f"(batch={args.serve_batch}, window={args.max_wait_ms}ms)",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()
