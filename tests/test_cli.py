@@ -85,3 +85,9 @@ def test_upsample_flag():
     assert cfg.model.upsample == "resize_conv"
     cfg = build_config(_parse(["--deconv_init", "lecun"]))
     assert cfg.model.deconv_init == "lecun"
+
+
+def test_norm_flag():
+    assert build_config(_parse([])).model.norm == "group"
+    cfg = build_config(_parse(["--norm", "none"]))
+    assert cfg.model.norm == "none"

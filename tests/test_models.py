@@ -242,3 +242,30 @@ def test_deconv_bilinear_init_composes_resize_conv():
         np.asarray(ref)[:, 3:-3, 3:-3, :],
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_norm_none_forward_and_decoder_transfer():
+    """The no-norm ConvBlock path (--norm none, measured +6.6% step,
+    BASELINE.md) must run both models and keep the transfer contract."""
+    import jax.numpy as jnp
+
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+    from gdn_tpu.config import Config, ModelConfig, TrainConfig
+    from gdn_tpu.models import DtoDNet, RtoDNet
+    from gdn_tpu.train import create_state
+
+    cfg = Config(
+        model=ModelConfig(
+            image_size=(32, 64), enc_channels=(8, 16), dec_channels=(16, 8),
+            dtype="float32", norm="none",
+        ),
+        train=TrainConfig(ckpt_dir=""),
+    )
+    d = create_state(DtoDNet(cfg=cfg.model), (1, 32, 64, 1), cfg.train, 1)
+    g = create_state(RtoDNet(cfg=cfg.model), (1, 32, 64, 3), cfg.train, 1)
+    out = RtoDNet(cfg=cfg.model).apply(
+        {"params": transfer_stage1_decoder(g.params, d.params)},
+        jnp.ones((2, 32, 64, 3)),
+    )
+    assert out["depth"].shape == (2, 32, 64, 1)
+    assert bool(jnp.isfinite(out["depth"]).all())
