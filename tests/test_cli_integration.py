@@ -214,3 +214,22 @@ def test_train_cli_sigterm_preemption(tmp_path):
     assert proc.returncode == 0, full[-3000:]
     assert "preempted: checkpoint saved" in full
     assert os.path.isdir(os.path.join(model_dir, "stage1"))
+
+
+def test_convergence_cli_subprocess(tmp_path):
+    """scripts/convergence.py: tiny protocol run emits per-seed metrics
+    and the DONE summary line (the measurement harness stays runnable)."""
+    import json as _json
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "convergence.py"),
+         "--seeds", "0", "--steps", "4", "--batch_size", "2",
+         "--height", "32", "--width", "64", "--eval_images", "3",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=1200, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    done = _json.loads(lines[-1])
+    assert done["DONE"] and "a1_mean" in done
+    assert "0" in done["per_seed"] or 0 in done["per_seed"]
