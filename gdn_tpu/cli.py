@@ -44,8 +44,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="conv-block normalization: group (default; "
                         "batch-size independent, no cross-chip stat "
                         "syncs) or none (plain conv+bias+act — measured "
-                        "+6.6%% step throughput at B=128, convergence "
-                        "unvalidated; BASELINE.md)")
+                        "+6.6%% step throughput at B=128 but -0.07 mean "
+                        "a1 with high seed variance on the synthetic "
+                        "convergence protocol; BASELINE.md)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", choices=["default", "cpu", "tpu"],
                    default="default",

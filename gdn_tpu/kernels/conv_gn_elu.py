@@ -41,13 +41,18 @@ _VMEM_BUDGET_BT = 15 * 1024 * 1024
 
 
 def supported(h: int, w: int, cin: int, cout: int) -> bool:
-    """Lane-aligned channels (no 128-pad tax) and VMEM fit per image."""
+    """Lane-aligned channels (no 128-pad tax) and VMEM fit per image.
+
+    Streamed blocks (the per-image input and output) count TWICE:
+    Mosaic double-buffers grid-streamed operands/results (measured on
+    hardware — see pick_batch_tile below)."""
     if cin % 128 or cout % 128:
         return False
     wp = tap_width(w) + 8
-    work = ((h + 2) * wp * cin + 2 * h * tap_width(w) * cout
+    work = (2 * (h + 2) * wp * cin           # input block (2-buf)
+            + 3 * h * tap_width(w) * cout    # acc scratch + output (2-buf)
             + 9 * cin * cout) * 4
-    return work < _VMEM_BUDGET
+    return work < _VMEM_BUDGET_BT
 
 
 def _kernel(x_ref, w_ref, scale_ref, bias_ref, out_ref, acc_ref,

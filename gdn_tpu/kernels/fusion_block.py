@@ -130,15 +130,18 @@ def fits_vmem(h: int, w: int, cx: int, cl: int, cout: int) -> bool:
     16 MB scoped; the (64,208,32ch) decoder shape needs 20.4 MB once
     channels pad to 128 lanes and is rejected by the TPU compiler).
     Working set per grid step: both pre-padded inputs + weights + the
-    fp32 accumulator scratch."""
+    fp32 accumulator scratch + the output block.  Grid-streamed blocks
+    (inputs, output) count TWICE — Mosaic double-buffers them (measured
+    on hardware, conv_gn_elu.pick_batch_tile)."""
     cxp = -(-cx // 128) * 128
     clp = -(-cl // 128) * 128
     coutp = -(-cout // 128) * 128
     wp = tap_width(w) + 8
-    ins = (h + 2) * wp * (cxp + clp)
+    ins = 2 * (h + 2) * wp * (cxp + clp)      # input blocks (2-buf)
     weights = 9 * (cxp + clp) * coutp
-    acc = h * tap_width(w) * coutp
-    return (ins + weights + acc) * 4 < 14 * 1024 * 1024
+    acc = h * tap_width(w) * coutp            # scratch (single)
+    out = 2 * h * tap_width(w) * coutp        # output block (2-buf)
+    return (ins + weights + acc + out) * 4 < 15 * 1024 * 1024
 
 
 def pad_lanes(x, axis: int, mult: int = 128):

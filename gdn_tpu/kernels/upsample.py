@@ -38,23 +38,29 @@ from gdn_tpu.kernels.fusion_block import (
 
 # Conservative VMEM budget for scratch + transients (bytes).
 _VMEM_BUDGET = 12 * 1024 * 1024
+# Budget paired with the honest double-buffer accounting in fits_vmem
+# (15 MB of the 16 MB scoped-VMEM hardware limit).
+_VMEM_BUDGET_HONEST = 15 * 1024 * 1024
 
 
 def fits_vmem(h: int, w: int, cin: int, cout: int) -> bool:
     """Working set of the fused kernel at input (h, w, cin), counting
     the 128-lane channel padding.  Rolled-conv form (round 3): input
     block + bordered upsample scratch + fp32 accumulator + weights; the
-    per-tap transients of the unrolled form are gone."""
+    per-tap transients of the unrolled form are gone.  Grid-streamed
+    blocks (input, output) count TWICE — Mosaic double-buffers them
+    (measured on hardware, conv_gn_elu.pick_batch_tile)."""
     cinp = -(-cin // 128) * 128
     coutp = -(-cout // 128) * 128
     up_pad = (2 * h + 2) * (tap_width(2 * w) + 8)
     work = (
-        h * w * cinp            # input block
+        2 * h * w * cinp        # input block (2-buf)
         + up_pad * cinp         # bordered upsample scratch
-        + 2 * h * tap_width(2 * w) * coutp  # accumulator
+        + 2 * h * tap_width(2 * w) * coutp      # accumulator scratch
+        + 2 * 2 * h * tap_width(2 * w) * coutp  # output block (2-buf)
         + 9 * cinp * coutp      # weights
     )
-    return work * 4 < _VMEM_BUDGET
+    return work * 4 < _VMEM_BUDGET_HONEST
 
 
 def _upsample2x_clamp(x):

@@ -77,8 +77,10 @@ class DynamicBatcher:
         self._predictor = BatchedPredictor(cfg, params, batch_size)
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._stats_lock = threading.Lock()
+        self._stopped = False
         self.stats = {
             "requests": 0,
+            "errors": 0,
             "batches": 0,
             "batched_items": 0,
             "latency_ms_sum": 0.0,
@@ -90,20 +92,30 @@ class DynamicBatcher:
                 timeout: Optional[float] = None) -> np.ndarray:
         """rgb (H, W, 3) float32 [0,1] at model resolution -> depth
         (H, W) float32 meters.  Blocks until the batched result lands."""
+        if self._stopped:
+            raise RuntimeError("batcher is stopped")
         p = _Pending(rgb)
         self._queue.put(p)
-        if not p.event.wait(self.timeout_s if timeout is None else timeout):
+        ok = p.event.wait(self.timeout_s if timeout is None else timeout)
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            if ok and p.error is None:
+                self.stats["latency_ms_sum"] += (
+                    time.perf_counter() - p.t_submit
+                ) * 1000.0
+            else:
+                self.stats["errors"] += 1
+        if not ok:
             raise TimeoutError("prediction timed out")
         if p.error is not None:
             raise p.error
-        with self._stats_lock:
-            self.stats["requests"] += 1
-            self.stats["latency_ms_sum"] += (
-                time.perf_counter() - p.t_submit
-            ) * 1000.0
         return p.depth
 
     def stop(self) -> None:
+        # Requests racing this flag either see it (fail fast) or reach
+        # the queue before the sentinel and are drained by _run's
+        # shutdown path — never left to hang out the full timeout.
+        self._stopped = True
         self._queue.put(None)
         self._worker.join(timeout=5.0)
 
@@ -112,6 +124,7 @@ class DynamicBatcher:
         while True:
             first = self._queue.get()
             if first is None:
+                self._drain()
                 return
             batch = [first]
             deadline = time.perf_counter() + self.max_wait_s
@@ -125,9 +138,21 @@ class DynamicBatcher:
                     break
                 if nxt is None:
                     self._flush(batch)
+                    self._drain()
                     return
                 batch.append(nxt)
             self._flush(batch)
+
+    def _drain(self) -> None:
+        """Fail any request that slipped in behind the stop sentinel."""
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if p is not None:
+                p.error = RuntimeError("batcher is stopped")
+                p.event.set()
 
     def _flush(self, batch) -> None:
         try:
@@ -182,10 +207,12 @@ class DepthServer:
         if warmup:
             # Compile the serving program BEFORE accepting traffic so
             # the first request never pays the (minutes-scale on a cold
-            # TPU) jit compile inside its own latency budget.
+            # TPU) jit compile inside its own latency budget.  Warm the
+            # predictor directly: /stats latency must not fold the
+            # compile time in.
             th_, tw_ = cfg.model.image_size
-            self.batcher.predict(
-                np.zeros((th_, tw_, 3), np.float32), timeout=timeout_s
+            self.batcher._predictor.predict(
+                np.zeros((1, th_, tw_, 3), np.float32)
             )
         th, tw = cfg.model.image_size
         max_depth = cfg.model.max_depth
@@ -229,6 +256,13 @@ class DepthServer:
                     self._json(404, {"error": "not found"})
                     return
                 fmt = parse_qs(parsed.query).get("format", ["npy"])[0]
+                if fmt not in ("npy", "png16", "color"):
+                    # reject BEFORE decoding/batching: a bad format must
+                    # not burn a device dispatch on a guaranteed 4xx.
+                    self._json(400, {
+                        "error": f"unknown format {fmt!r} (npy|png16|color)"
+                    })
+                    return
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     img = Image.open(
@@ -248,9 +282,6 @@ class DepthServer:
                             (w0, h0), Image.BILINEAR
                         ))
                     ctype, body = _encode_depth(depth, fmt, max_depth)
-                except ValueError as e:
-                    self._json(400, {"error": str(e)})
-                    return
                 except Exception as e:  # noqa: BLE001
                     self._json(500, {"error": repr(e)})
                     return

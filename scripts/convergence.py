@@ -47,10 +47,9 @@ def main():
                    default="default")
     args = p.parse_args()
 
-    if args.platform == "cpu":
-        import jax
+    from gdn_tpu.cli import apply_platform
 
-        jax.config.update("jax_platforms", "cpu")
+    apply_platform(args)
 
     import dataclasses
 

@@ -202,3 +202,24 @@ def test_serve_cli_subprocess(tmp_path):
             proc.wait(timeout=10)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_batcher_stop_fails_fast():
+    """predict() after stop() must raise immediately, not hang out the
+    request timeout; stats must count errors."""
+    from gdn_tpu.models import RtoDNet
+    from gdn_tpu.server import DynamicBatcher
+    from gdn_tpu.train import create_state
+
+    params = create_state(
+        RtoDNet(cfg=TINY.model), (1, 32, 64, 3), TINY.train, 1
+    ).params
+    b = DynamicBatcher(TINY, params, batch_size=2, max_wait_ms=1.0)
+    x = np.zeros((32, 64, 3), np.float32)
+    b.predict(x)  # one good request
+    b.stop()
+    t0 = time.time()
+    with pytest.raises(RuntimeError):
+        b.predict(x)
+    assert time.time() - t0 < 1.0
+    assert b.stats["requests"] == 1 and b.stats["errors"] == 0
