@@ -68,13 +68,17 @@ class DynamicBatcher:
     stays single-threaded); callers block on a per-request event.
     """
 
-    def __init__(self, cfg: Config, params, batch_size: int = 8,
-                 max_wait_ms: float = 5.0, *, timeout_s: float = 600.0):
+    def __init__(self, cfg: Optional[Config], params, batch_size: int = 8,
+                 max_wait_ms: float = 5.0, *, timeout_s: float = 600.0,
+                 predictor: Optional[BatchedPredictor] = None):
         self.cfg = cfg
-        self.batch_size = batch_size
+        self._predictor = (
+            predictor if predictor is not None
+            else BatchedPredictor(cfg, params, batch_size)
+        )
+        self.batch_size = self._predictor.batch_size
         self.max_wait_s = max_wait_ms / 1000.0
         self.timeout_s = timeout_s
-        self._predictor = BatchedPredictor(cfg, params, batch_size)
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._stats_lock = threading.Lock()
         self._stopped = False
@@ -196,26 +200,32 @@ def _encode_depth(depth: np.ndarray, fmt: str, max_depth: float):
 class DepthServer:
     """ThreadingHTTPServer wrapper around a DynamicBatcher."""
 
-    def __init__(self, cfg: Config, params, host: str = "127.0.0.1",
-                 port: int = 0, batch_size: int = 8,
-                 max_wait_ms: float = 5.0, warmup: bool = True,
-                 timeout_s: float = 600.0):
+    def __init__(self, cfg: Optional[Config], params=None,
+                 host: str = "127.0.0.1", port: int = 0,
+                 batch_size: int = 8, max_wait_ms: float = 5.0,
+                 warmup: bool = True, timeout_s: float = 600.0,
+                 predictor: Optional[BatchedPredictor] = None):
+        """Either (cfg, params) for a live-checkpoint server, or
+        ``predictor=BatchedPredictor.from_artifact(path)`` for a
+        StableHLO-artifact server (cfg optional — only max_depth for
+        color rendering is taken from it; colorize falls back to
+        per-image normalization without it)."""
         self.cfg = cfg
         self.batcher = DynamicBatcher(
-            cfg, params, batch_size, max_wait_ms, timeout_s=timeout_s
+            cfg, params, batch_size, max_wait_ms, timeout_s=timeout_s,
+            predictor=predictor,
         )
+        th, tw = self.batcher._predictor.image_size
         if warmup:
             # Compile the serving program BEFORE accepting traffic so
             # the first request never pays the (minutes-scale on a cold
             # TPU) jit compile inside its own latency budget.  Warm the
             # predictor directly: /stats latency must not fold the
             # compile time in.
-            th_, tw_ = cfg.model.image_size
             self.batcher._predictor.predict(
-                np.zeros((1, th_, tw_, 3), np.float32)
+                np.zeros((1, th, tw, 3), np.float32)
             )
-        th, tw = cfg.model.image_size
-        max_depth = cfg.model.max_depth
+        max_depth = cfg.model.max_depth if cfg is not None else None
         batcher = self.batcher
 
         class Handler(BaseHTTPRequestHandler):

@@ -80,6 +80,26 @@ class BatchedPredictor:
         h, w = cfg.model.image_size
         self._shape = (batch_size, h, w, 3)
 
+    @classmethod
+    def from_artifact(cls, path: str) -> "BatchedPredictor":
+        """Serve an ``export_model`` StableHLO artifact: params and the
+        pinned batch/image shape are baked in, so deployment needs only
+        jax + this wrapper — no model code, no checkpoint.  The batch
+        size is read from the exported input signature."""
+        with open(path, "rb") as f:
+            exported = jax_export.deserialize(f.read())
+        self = cls.__new__(cls)
+        self.cfg = None
+        self._shape = tuple(exported.in_avals[0].shape)
+        self.batch_size = self._shape[0]
+        self._fwd = jax.jit(exported.call)
+        return self
+
+    @property
+    def image_size(self):
+        """(H, W) the compiled program expects."""
+        return self._shape[1], self._shape[2]
+
     def predict(self, rgbs: np.ndarray) -> np.ndarray:
         """rgbs (N, H, W, 3) float32 [0,1] -> depths (N, H, W) meters."""
         n = rgbs.shape[0]

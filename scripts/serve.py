@@ -37,32 +37,47 @@ def main():
     p.add_argument("--init_random", action="store_true",
                    help="serve randomly initialized weights (no "
                         "checkpoint needed; smoke tests only)")
+    p.add_argument("--artifact", type=str, default="",
+                   help="serve a scripts/export.py StableHLO artifact "
+                        "instead of a checkpoint (params, batch size "
+                        "and image shape are baked in; no model code "
+                        "or checkpoint needed)")
     args = p.parse_args()
     apply_platform(args)
     cfg = build_config(args)
 
-    from gdn_tpu import checkpoint as ckpt
-    from gdn_tpu.models import RtoDNet
     from gdn_tpu.server import DepthServer
-    from gdn_tpu.train import create_state
 
-    h, w = cfg.model.image_size
-    template = create_state(
-        RtoDNet(cfg=cfg.model), (1, h, w, 3), cfg.train, 1
-    )
-    if args.init_random:
-        params = template.params
+    predictor = None
+    params = None
+    if args.artifact:
+        from gdn_tpu.serving import BatchedPredictor
+
+        predictor = BatchedPredictor.from_artifact(args.artifact)
+        print(f"artifact: batch={predictor.batch_size} "
+              f"image={predictor.image_size}", flush=True)
     else:
-        params = ckpt.load_params(
-            f"{cfg.train.ckpt_dir}/stage2", template.params,
-            key="ema_params" if args.use_ema else "params",
+        from gdn_tpu import checkpoint as ckpt
+        from gdn_tpu.models import RtoDNet
+        from gdn_tpu.train import create_state
+
+        h, w = cfg.model.image_size
+        template = create_state(
+            RtoDNet(cfg=cfg.model), (1, h, w, 3), cfg.train, 1
         )
+        if args.init_random:
+            params = template.params
+        else:
+            params = ckpt.load_params(
+                f"{cfg.train.ckpt_dir}/stage2", template.params,
+                key="ema_params" if args.use_ema else "params",
+            )
 
     print("warming up the serving program...", flush=True)
     server = DepthServer(
         cfg, params, host=args.host, port=args.port,
         batch_size=args.serve_batch, max_wait_ms=args.max_wait_ms,
-        timeout_s=args.request_timeout,
+        timeout_s=args.request_timeout, predictor=predictor,
     )
     print(f"serving on http://{args.host}:{server.port} "
           f"(batch={args.serve_batch}, window={args.max_wait_ms}ms)",

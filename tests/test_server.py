@@ -223,3 +223,48 @@ def test_batcher_stop_fails_fast():
         b.predict(x)
     assert time.time() - t0 < 1.0
     assert b.stats["requests"] == 1 and b.stats["errors"] == 0
+
+
+def test_serve_from_exported_artifact(tmp_path, server):
+    """The StableHLO-artifact serving path must agree with the
+    checkpoint server bit-for-bit modulo export reassociation."""
+    from gdn_tpu.serving import BatchedPredictor, export_model
+    from gdn_tpu.server import DepthServer
+
+    # rebuild the SAME params the module fixture server holds (seeded
+    # create_state is deterministic)
+    from gdn_tpu.models import RtoDNet
+    from gdn_tpu.train import create_state
+
+    params = create_state(
+        RtoDNet(cfg=TINY.model), (1, 32, 64, 3), TINY.train, 1
+    ).params
+    path = str(tmp_path / "model.stablehlo")
+    export_model(TINY, params, path, batch_size=2)
+
+    pred = BatchedPredictor.from_artifact(path)
+    assert pred.batch_size == 2 and pred.image_size == (32, 64)
+
+    srv = DepthServer(None, predictor=pred, port=0, max_wait_ms=2.0)
+    srv.start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        health = _get_json(f"{base}/healthz")
+        assert health["image_size"] == [32, 64]
+        body = _png_bytes(32, 64, seed=11)
+        st, _, raw = _post(f"{base}/predict", body)
+        assert st == 200
+        art_depth = np.load(io.BytesIO(raw))
+        # color rendering must work without a cfg (per-image norm)
+        st, ct, _ = _post(f"{base}/predict?format=color", body)
+        assert st == 200 and ct == "image/png"
+    finally:
+        srv.stop()
+
+    # checkpoint-server answer for the same input (the module fixture
+    # holds the same seed-1 create_state params)
+    st, _, raw = _post(
+        f"http://127.0.0.1:{server.port}/predict", body
+    )
+    ckpt_depth = np.load(io.BytesIO(raw))
+    np.testing.assert_allclose(art_depth, ckpt_depth, rtol=1e-4, atol=1e-3)
