@@ -144,6 +144,11 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--save_preds", type=str, default="",
                    help="also save per-image predicted depth (.npy, train "
                         "resolution) into this directory")
+    p.add_argument("--flip_tta", action="store_true",
+                   help="horizontal-flip test-time augmentation: average "
+                        "the prediction with the un-mirrored prediction "
+                        "of the mirrored input (standard monodepth "
+                        "post-processing; one 2B-wide dispatch)")
     p.add_argument("--num_devices", type=int, default=1,
                    help="data-parallel eval over this many chips "
                         "(1 = single device; 0 = all; eval_batch must "

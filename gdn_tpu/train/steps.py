@@ -331,11 +331,19 @@ def _jit_multistep(step, mesh: Optional[Mesh], n_extra: int):
     )
 
 
-def make_eval_forward(cfg: Config, model=None) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
+def make_eval_forward(
+    cfg: Config, model=None, flip_tta: bool = False,
+) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
     """Jitted eval forward: rgb (B,H,W,3) -> depth (B,H,W,1) fp32.
 
     Runs the G-net at train resolution; the eval harness resizes to GT
     resolution afterwards (SURVEY.md §3.3).
+
+    ``flip_tta``: horizontal-flip test-time augmentation — the standard
+    monodepth post-processing (predict on the image and its mirror,
+    un-mirror, average).  ONE jitted program: the (B) and flipped (B)
+    batches run as a single (2B) forward so the device sees one
+    dispatch, and XLA's batched convs amortize the second pass.
     """
     from gdn_tpu.models import RtoDNet
 
@@ -343,7 +351,12 @@ def make_eval_forward(cfg: Config, model=None) -> Callable[[Any, jnp.ndarray], j
 
     @jax.jit
     def forward(params, rgb):
-        return model.apply({"params": params}, rgb)["depth"]
+        if not flip_tta:
+            return model.apply({"params": params}, rgb)["depth"]
+        both = jnp.concatenate([rgb, rgb[:, :, ::-1, :]], axis=0)
+        depth = model.apply({"params": params}, both)["depth"]
+        b = rgb.shape[0]
+        return 0.5 * (depth[:b] + depth[b:, :, ::-1, :])
 
     return forward
 

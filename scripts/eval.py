@@ -78,7 +78,7 @@ def main():
             stage2_dir, template.params,
             key="ema_params" if args.use_ema else "params",
         )
-        forward = make_eval_forward(cfg)
+        forward = make_eval_forward(cfg, flip_tta=args.flip_tta)
     mesh = None
     if args.num_devices != 1:
         from gdn_tpu.parallel.mesh import create_mesh

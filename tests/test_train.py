@@ -982,3 +982,30 @@ def test_freeze_decoder_stop_grad_preserves_updates(d_state):
     assert float(t_stop["total"]) == float(t_full["total"])
     for a, b in zip(jax.tree.leaves(s_stop.params), jax.tree.leaves(s_full.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flip_tta_forward():
+    """flip_tta must equal mean(f(x), unflip(f(flip(x)))) and be exact
+    on a horizontally symmetric input."""
+    import jax.numpy as jnp
+
+    from gdn_tpu.models import RtoDNet
+
+    g_model = RtoDNet(cfg=TINY.model)
+    h, w = TINY.model.image_size
+    params = create_state(g_model, (1, h, w, 3), TINY.train, 1).params
+    plain = make_eval_forward(TINY, g_model)
+    tta = make_eval_forward(TINY, g_model, flip_tta=True)
+
+    rgb = jax.random.uniform(jax.random.PRNGKey(3), (2, h, w, 3))
+    expect = 0.5 * (
+        plain(params, rgb) + plain(params, rgb[:, :, ::-1, :])[:, :, ::-1, :]
+    )
+    np.testing.assert_allclose(
+        np.asarray(tta(params, rgb)), np.asarray(expect),
+        rtol=1e-5, atol=1e-6,
+    )
+    # symmetric input -> tta output is itself symmetric
+    sym = jnp.concatenate([rgb[:, :, : w // 2], rgb[:, :, : w // 2][:, :, ::-1]], axis=2)
+    out = np.asarray(tta(params, sym))
+    np.testing.assert_allclose(out, out[:, :, ::-1, :], rtol=1e-5, atol=1e-6)
