@@ -51,13 +51,17 @@ def iter_frames(path: str):
 
 
 class DepthPredictor:
-    """Jit-compiled RGB -> depth inference wrapper."""
+    """Jit-compiled RGB -> depth inference wrapper.
 
-    def __init__(self, cfg: Config, params):
+    ``flip_tta``: horizontal-flip test-time averaging (same 2B-wide
+    single-dispatch formulation as train/steps.make_eval_forward)."""
+
+    def __init__(self, cfg: Config, params, flip_tta: bool = False):
+        from gdn_tpu.train import make_eval_forward
+
         self.cfg = cfg
-        model = RtoDNet(cfg=cfg.model)
-        self._fwd = jax.jit(
-            lambda p, x: model.apply({"params": p}, x)["depth"]
+        self._fwd = make_eval_forward(
+            cfg, RtoDNet(cfg=cfg.model), flip_tta=flip_tta
         )
         self.params = params
 
@@ -80,11 +84,12 @@ def run_demo(
     gif: Optional[str] = None,
     cmap: str = "magma",
     side_by_side: bool = True,
+    flip_tta: bool = False,
 ) -> List[str]:
     """Predict depth for every input frame; write colorized PNGs and an
     optional animated GIF.  Returns the written file paths."""
     os.makedirs(output_dir, exist_ok=True)
-    predictor = DepthPredictor(cfg, params)
+    predictor = DepthPredictor(cfg, params, flip_tta=flip_tta)
     written, frames = [], []
     for name, rgb in iter_frames(input_path):
         depth = predictor(rgb)

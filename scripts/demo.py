@@ -26,6 +26,8 @@ def main():
                    help="also write an animated GIF with this name")
     p.add_argument("--cmap", type=str, default="magma")
     p.add_argument("--no_side_by_side", action="store_true")
+    p.add_argument("--flip_tta", action="store_true",
+                   help="horizontal-flip test-time averaging")
     p.add_argument("--use_ema", action="store_true",
                    help="use the EMA (Polyak-averaged) weights from an "
                         "--ema_decay training run")
@@ -49,7 +51,7 @@ def main():
     written = run_demo(
         cfg, params, args.input, args.output,
         gif=args.gif or None, cmap=args.cmap,
-        side_by_side=not args.no_side_by_side,
+        side_by_side=not args.no_side_by_side, flip_tta=args.flip_tta,
     )
     for path in written:
         print(path)
