@@ -136,6 +136,9 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cap", type=float, default=None,
                    help="depth cap in meters (KITTI: 80 or 50; NYU: 10)")
     p.add_argument("--crop", choices=["garg", "eigen", "none"], default=None)
+    p.add_argument("--calib_dir", type=str, default="",
+                   help="KITTI calibration dir for velodyne .bin GT "
+                        "entries in the eval list")
     p.add_argument("--median_scaling", action="store_true")
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--eval_batch", type=int, default=8,
@@ -214,6 +217,8 @@ def build_config(args: argparse.Namespace) -> Config:
             over["loss.ssim_precision"] = args.ssim_precision
     if hasattr(args, "val_list"):
         over["data.val_list"] = args.val_list
+        if getattr(args, "calib_dir", ""):
+            over["data.calib_dir"] = args.calib_dir
         if args.cap is not None:
             over["eval.cap"] = args.cap
         if args.crop is not None:

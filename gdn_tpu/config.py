@@ -219,6 +219,11 @@ class DataConfig:
     # pipeline with worker processes and checkpointable iterator state,
     # data/grain_loader.py — the SURVEY §2.1 grain host-decode plan).
     loader: str = "native"
+    # KITTI calibration directory (calib_cam_to_cam.txt /
+    # calib_velo_to_cam.txt) for eval lists whose GT entries are raw
+    # velodyne .bin scans (data/velodyne.py projection).  Empty: only
+    # PNG/npy GT is usable.
+    calib_dir: str = ""
     # On-device augmentation (jitted; SURVEY.md §2.1 TPU-native plan).
     random_flip: bool = True
     random_crop: bool = True

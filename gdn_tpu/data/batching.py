@@ -65,6 +65,15 @@ class SeekableLoaderMixin:
 
     def _index_iter(self) -> Iterator[Tuple[np.ndarray, int]]:
         order = np.arange(len(self.entries))
+        if self.loop and len(order) < self.batch_size:
+            # loop=True drops the partial tail chunk; with fewer samples
+            # than one batch NOTHING would ever be yielded and the
+            # consumer would block forever — fail loudly instead.
+            raise ValueError(
+                f"dataset has {len(order)} samples < batch_size "
+                f"{self.batch_size}; a looping loader would never yield "
+                "a batch (shrink batch_size or enlarge the list)"
+            )
         while True:
             if self.shuffle:
                 self._rng.shuffle(order)

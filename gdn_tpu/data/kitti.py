@@ -40,6 +40,19 @@ def parse_list(path: str) -> List[List[str]]:
     return entries
 
 
+def _png_bit_depth(path: str) -> int:
+    """PNG bit depth from the IHDR header (offset 24: 8-byte signature
+    + 4 length + 'IHDR' + 4 width + 4 height); 0 if unreadable."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(25)
+        if len(head) == 25 and head[:8] == b"\x89PNG\r\n\x1a\n":
+            return head[24]
+    except OSError:
+        pass
+    return 0
+
+
 def load_rgb(path: str, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
     """Decode an RGB image to float32 [0,1], optionally resized (H, W)
     with bilinear interpolation (matches ops/resize semantics)."""
@@ -113,11 +126,21 @@ class KittiTrainDataset(SeekableLoaderMixin):
         self._rng = np.random.default_rng(seed)
         # Native C++ threaded decode (native/gdn_io.cpp) when the .so is
         # built and the depth files are 16-bit PNGs; PIL otherwise.
+        # The native path applies the KITTI uint16/256-m convention
+        # unconditionally, while load_depth treats non-uint16 PNGs as
+        # raw meters — so the gate must check the actual PNG bit depth
+        # (first entry; the annotation archives are homogeneous), not
+        # just the extension, or the two paths would silently train on
+        # depths 256x apart.
         if use_native:
             from gdn_tpu.data import native_io
 
-            self._native = native_io.available() and all(
-                e[1].endswith(".png") for e in self.entries
+            self._native = (
+                native_io.available()
+                and all(e[1].endswith(".png") for e in self.entries)
+                and _png_bit_depth(
+                    os.path.join(data_path, self.entries[0][1])
+                ) == 16
             )
         else:
             self._native = False

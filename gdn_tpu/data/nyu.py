@@ -74,6 +74,8 @@ class NyuTrainDataset(SeekableLoaderMixin):
     ):
         self.data_path = data_path
         self.entries = parse_list(os.path.join(data_path, list_file))
+        if not self.entries:
+            raise ValueError(f"empty list file {list_file}")
         self.size = size
         self.batch_size = batch_size
         self.shuffle = shuffle

@@ -154,7 +154,10 @@ def make_loader(cfg: Config, split: str = "train"):
                 d.data_path, d.train_list, (h, w), d.batch_size,
                 seed=cfg.train.seed, max_depth=cfg.model.max_depth,
             )
-        return KittiEvalDataset(d.data_path, d.val_list, (h, w))
+        return KittiEvalDataset(
+            d.data_path, d.val_list, (h, w),
+            calib_dir=d.calib_dir or None,
+        )
     if d.dataset == "nyu":
         from gdn_tpu.data.nyu import NyuEvalDataset, NyuTrainDataset
 

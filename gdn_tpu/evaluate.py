@@ -92,12 +92,20 @@ def _batch_iter(
     dataset: Iterable[Dict[str, np.ndarray]],
     bs: int,
     max_images: Optional[int],
-) -> Iterator[Tuple[Tuple[int, int], np.ndarray, np.ndarray, int]]:
-    """Group per-image samples into (gt_shape, rgb, gt, n_real) host
-    batches of ``bs`` per GT resolution; the final partial batch per
-    shape is padded with its last sample (discarded downstream)."""
+) -> Iterator[
+    Tuple[Tuple[int, int], np.ndarray, np.ndarray, int, Tuple[int, ...]]
+]:
+    """Group per-image samples into (gt_shape, rgb, gt, n_real, indices)
+    host batches of ``bs`` per GT resolution; the final partial batch
+    per shape is padded with its last sample (discarded downstream).
+
+    ``indices`` are the samples' positions in the DATASET order — the
+    per-shape grouping interleaves batches out of dataset order on
+    mixed-resolution splits, so consumers (--save_preds) must name
+    outputs by these, not by completion order."""
 
     def assemble(samples):
+        idxs, samples = zip(*samples)
         pad = bs - len(samples)
         rgb = np.concatenate(
             [np.asarray(s["rgb"]) for s in samples]
@@ -107,7 +115,7 @@ def _batch_iter(
             [np.asarray(s["gt"]) for s in samples]
             + [np.asarray(samples[-1]["gt"])] * pad
         )
-        return rgb, gt, len(samples)
+        return rgb, gt, len(samples), idxs
 
     pending: Dict[Tuple[int, int], list] = {}
     n_in = 0
@@ -115,7 +123,7 @@ def _batch_iter(
         if max_images is not None and n_in >= max_images:
             break
         shape = tuple(np.asarray(sample["gt"]).shape[1:3])
-        pending.setdefault(shape, []).append(sample)
+        pending.setdefault(shape, []).append((n_in, sample))
         n_in += 1
         if len(pending[shape]) == bs:
             yield (shape, *assemble(pending.pop(shape)))
@@ -140,9 +148,9 @@ def _prefetch(iterator, size: int = 2, sharding=None):
 
     def producer():
         try:
-            for shape, rgb, gt, n_real in iterator:
+            for shape, rgb, gt, n_real, idxs in iterator:
                 item = (shape, jax.device_put(rgb, sharding),
-                        jax.device_put(gt, sharding), n_real)
+                        jax.device_put(gt, sharding), n_real, idxs)
                 while not stop.is_set():
                     try:
                         q.put(item, timeout=0.2)
@@ -206,13 +214,14 @@ def evaluate(
         from gdn_tpu.parallel.mesh import batch_sharding
 
         assert bs % mesh.size == 0, (
-            f"eval.batch_size {bs} must divide mesh size {mesh.size}"
+            f"eval.batch_size {bs} must be divisible by the mesh size "
+            f"{mesh.size}"
         )
         sharding = batch_sharding(mesh)
     n = 0
-    n_saved = 0
     t0 = None
-    in_flight: list = []  # (metrics (n_metrics,B) dev, preds dev|None, n_real)
+    warm_s = 0.0  # per-shape compile warmups EXCLUDED from the fps window
+    in_flight: list = []  # (metrics (n_metrics,B) dev, preds dev|None, n_real, idxs)
     PIPELINE_DEPTH = 2  # batches dispatched ahead of the fetch point
     if save_preds:
         import os
@@ -220,9 +229,9 @@ def evaluate(
         os.makedirs(save_preds, exist_ok=True)
 
     def drain(to_depth: int):
-        nonlocal n, n_saved
+        nonlocal n
         while len(in_flight) > to_depth:
-            stacked_dev, preds_dev, n_real = in_flight.pop(0)
+            stacked_dev, preds_dev, n_real, idxs = in_flight.pop(0)
             stacked = np.asarray(stacked_dev)  # (n_metrics, B), ONE fetch
             for i in range(n_real):
                 acc.update(
@@ -234,13 +243,15 @@ def evaluate(
 
                 preds = np.asarray(preds_dev)
                 for i in range(n_real):
+                    # dataset-order index, NOT completion order: the
+                    # per-shape grouping interleaves mixed-resolution
+                    # splits (_batch_iter docstring).
                     np.save(
-                        os.path.join(save_preds, f"pred_{n_saved:06d}.npy"),
+                        os.path.join(save_preds, f"pred_{idxs[i]:06d}.npy"),
                         preds[i],
                     )
-                    n_saved += 1
 
-    for shape, rgb, gt, n_real in _prefetch(
+    for shape, rgb, gt, n_real, idxs in _prefetch(
         _batch_iter(dataset, bs, max_images), sharding=sharding
     ):
         if shape not in steps:
@@ -248,25 +259,29 @@ def evaluate(
                 cfg, forward, shape, return_preds=bool(save_preds),
                 mesh=mesh,
             )
-            # Warm up compile before timing fps (fetch to force
+            # Warm up compile OUTSIDE the fps window — every new GT
+            # resolution compiles, not just the first (fetch to force
             # completion; block_until_ready can return early through
             # remote-TPU tunnels).
+            tw = time.perf_counter()
             out = steps[shape](params, rgb, gt)
             jax.tree.map(np.asarray, out)
             if t0 is None:
                 t0 = time.perf_counter()
+            else:
+                warm_s += time.perf_counter() - tw
         # Async dispatch; fetches happen in drain() so device compute and
         # the per-batch host round-trip overlap across batches.
         out = steps[shape](params, rgb, gt)
         if save_preds:
-            in_flight.append((out[0], out[1], n_real))
+            in_flight.append((out[0], out[1], n_real, idxs))
         else:
-            in_flight.append((out, None, n_real))
+            in_flight.append((out, None, n_real, idxs))
         drain(PIPELINE_DEPTH)
     drain(0)
     out = acc.result()
     if n > 0 and t0 is not None:
-        out["fps"] = n / max(time.perf_counter() - t0, 1e-9)
+        out["fps"] = n / max(time.perf_counter() - t0 - warm_s, 1e-9)
     if verbose:
         print(acc.table())
         if "fps" in out:

@@ -118,12 +118,15 @@ def _epoch_loop(
         if (i + 1) % log_calls == 0 or i == n_calls - 1:
             terms = jax.tree.map(float, jax.device_get(terms))
             elapsed = max(time.perf_counter() - t_start, 1e-9)
-            imgs_per_sec = (
-                batch_size * steps_per_call * (i + 1 - timed_from) / elapsed
-            )
-            logger.log(
-                step=int(state.step), imgs_per_sec=imgs_per_sec, **terms
-            )
+            timed_calls = i + 1 - timed_from
+            log_kw = dict(step=int(state.step), **terms)
+            if timed_calls > 0:
+                # the first (compile) call is excluded from the clock;
+                # until a timed call lands there is no rate to report
+                log_kw["imgs_per_sec"] = (
+                    batch_size * steps_per_call * timed_calls / elapsed
+                )
+            logger.log(**log_kw)
         if preemption is not None and preemption.requested:
             break
     return state
@@ -150,7 +153,12 @@ def _validate(cfg, state, val_iter, steps, logger, d_params=None):
     input_key = "depth" if d_params is None else "rgb"
     sums, n = {}, 0
     for _ in range(steps):
-        batch = next(val_iter)
+        try:
+            batch = next(val_iter)
+        except StopIteration:
+            # finite val iterable shorter than `steps`: average over
+            # what exists instead of killing the training run mid-epoch
+            break
         terms = _val_terms(
             state.apply_fn, state.params, batch,
             cfg.loss, cfg.model.max_depth, input_key,

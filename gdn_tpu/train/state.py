@@ -34,20 +34,29 @@ class TrainState(train_state.TrainState):
 
 def lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
     """lr * gamma^(epoch // decay_epochs), the reference's step decay,
-    optionally preceded by a linear 0 -> lr warmup (cfg.warmup_steps)."""
+    optionally preceded by a linear 0 -> lr warmup (cfg.warmup_steps).
+
+    decay_epochs/warmup_steps are documented in TRAIN-LOOP steps
+    (micro-steps).  Under grad_accum>1 the schedule counter only
+    advances on APPLIED updates (optax.MultiSteps calls the inner
+    transform once per k micro-steps), so the transition points are
+    converted to update units here — otherwise the decay would fire
+    grad_accum x too late in wall-clock epochs."""
+    accum = max(1, cfg.grad_accum)
     decay = optax.exponential_decay(
         init_value=cfg.lr,
-        transition_steps=cfg.decay_epochs * steps_per_epoch,
+        transition_steps=max(1, cfg.decay_epochs * steps_per_epoch // accum),
         decay_rate=cfg.decay_gamma,
         staircase=True,
     )
     if cfg.warmup_steps:
+        warmup_updates = max(1, cfg.warmup_steps // accum)
         warmup = optax.linear_schedule(
             init_value=0.0,
             end_value=cfg.lr,
-            transition_steps=cfg.warmup_steps,
+            transition_steps=warmup_updates,
         )
-        return optax.join_schedules([warmup, decay], [cfg.warmup_steps])
+        return optax.join_schedules([warmup, decay], [warmup_updates])
     return decay
 
 

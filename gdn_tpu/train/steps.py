@@ -262,6 +262,12 @@ def make_stage1_multistep(
     """
 
     def step(state: TrainState, batches: Batch):
+        s = jax.tree.leaves(batches)[0].shape[0]
+        assert s == steps_per_call, (
+            f"stacked batch has {s} steps, expected steps_per_call="
+            f"{steps_per_call}"
+        )
+
         def body(carry, batch):
             state = carry
             grad_fn = jax.value_and_grad(_stage1_loss, has_aux=True)
@@ -296,6 +302,12 @@ def make_stage2_multistep(
         assert cfg.train.freeze_decoder, "fused_guidance requires freeze_decoder"
 
     def step(state: TrainState, d_params, batches: Batch):
+        s = jax.tree.leaves(batches)[0].shape[0]
+        assert s == steps_per_call, (
+            f"stacked batch has {s} steps, expected steps_per_call="
+            f"{steps_per_call}"
+        )
+
         def body(carry, batch):
             state = carry
             if cfg.train.fused_guidance:

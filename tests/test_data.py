@@ -599,3 +599,37 @@ def test_make_loader_passes_train_seed(kitti_fixture):
                           "train.seed": 11, "data.batch_size": 2})
     ds = make_loader(cfg, "train")
     assert ds._seed == 11
+
+
+def test_looping_loader_rejects_tiny_dataset(tmp_path):
+    """A looping loader with fewer samples than one batch must raise,
+    not silently spin forever (review: iter_batch_indices yields
+    nothing when usable==0 and loop=True)."""
+    from gdn_tpu.data.synthetic import SyntheticDataset  # noqa: F401
+    from gdn_tpu.data.kitti import KittiTrainDataset
+
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    from PIL import Image as _I
+    _I.fromarray(rgb).save(tmp_path / "r.png")
+    np.save(tmp_path / "d.npy", np.ones((8, 8), np.float32))
+    (tmp_path / "train.txt").write_text("r.png d.npy\n")
+    ds = KittiTrainDataset(str(tmp_path), "train.txt", (8, 8),
+                           batch_size=4, loop=True, use_native=False)
+    with pytest.raises(ValueError, match="never yield"):
+        next(iter(ds))
+
+
+def test_png_bit_depth_gates_native_decode(tmp_path):
+    """8-bit depth PNGs must NOT take the native path (it applies the
+    uint16/256 convention unconditionally; review finding)."""
+    from PIL import Image as _I
+
+    from gdn_tpu.data.kitti import _png_bit_depth
+
+    _I.fromarray(np.zeros((4, 4), np.uint8)).save(tmp_path / "d8.png")
+    _I.fromarray(np.zeros((4, 4), np.uint16), mode="I;16").save(
+        tmp_path / "d16.png"
+    )
+    assert _png_bit_depth(str(tmp_path / "d8.png")) == 8
+    assert _png_bit_depth(str(tmp_path / "d16.png")) == 16
+    assert _png_bit_depth(str(tmp_path / "missing.png")) == 0

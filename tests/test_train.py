@@ -674,7 +674,7 @@ def test_eval_on_mesh_matches_single_device(d_state):
     # batch size must divide the mesh
     bad = Config(model=TINY.model, eval=EvalConfig(batch_size=6),
                  train=TINY.train)
-    with pytest.raises(AssertionError, match="divide"):
+    with pytest.raises(AssertionError, match="divisible"):
         evaluate(bad, g_state.params, fwd, eval_ds(), verbose=False,
                  mesh=mesh)
 
@@ -1009,3 +1009,68 @@ def test_flip_tta_forward():
     sym = jnp.concatenate([rgb[:, :, : w // 2], rgb[:, :, : w // 2][:, :, ::-1]], axis=2)
     out = np.asarray(tta(params, sym))
     np.testing.assert_allclose(out, out[:, :, ::-1, :], rtol=1e-5, atol=1e-6)
+
+
+def test_lr_schedule_grad_accum_units():
+    """decay_epochs/warmup_steps are micro-step-denominated; under
+    grad_accum the schedule counter advances once per APPLIED update,
+    so transition points must be divided by the accumulation factor
+    (review: decay fired grad_accum x too late)."""
+    from gdn_tpu.config import TrainConfig
+    from gdn_tpu.train.state import lr_schedule
+
+    base = dict(lr=1e-3, decay_epochs=2, decay_gamma=0.5)
+    plain = lr_schedule(TrainConfig(**base, grad_accum=1), 10)
+    accum = lr_schedule(TrainConfig(**base, grad_accum=4), 10)
+    # decay boundary: 20 micro-steps = 20 plain updates = 5 accum updates
+    assert float(plain(19)) == pytest.approx(1e-3)
+    assert float(plain(20)) == pytest.approx(5e-4)
+    assert float(accum(4)) == pytest.approx(1e-3)
+    assert float(accum(5)) == pytest.approx(5e-4)
+    # warmup: 8 micro-steps -> 2 applied updates
+    w = lr_schedule(TrainConfig(**base, grad_accum=4, warmup_steps=8), 10)
+    assert float(w(0)) == pytest.approx(0.0)
+    assert float(w(2)) == pytest.approx(1e-3)
+
+
+def test_save_preds_dataset_order_mixed_resolutions(tmp_path):
+    """--save_preds file indices must follow DATASET order even when
+    per-GT-shape batching interleaves mixed-resolution splits (review:
+    completion-order naming paired preds with the wrong GT)."""
+    from gdn_tpu.evaluate import evaluate
+
+    g_model = RtoDNet(cfg=TINY.model)
+    g_state = create_state(g_model, (1, 32, 64, 3), TINY.train, 10)
+    fwd = make_eval_forward(TINY, g_model)
+
+    shapes = [(96, 192), (80, 160), (96, 192), (80, 160), (96, 192)]
+
+    def eval_ds():
+        rng = np.random.default_rng(0)
+        for i, sh in enumerate(shapes):
+            b = _batch(5 + i, b=1)
+            gt = rng.uniform(1, 79, (1, *sh)).astype(np.float32)
+            yield {"rgb": np.asarray(b["rgb"]), "gt": gt}
+
+    import dataclasses
+
+    cfg = Config(
+        model=TINY.model,
+        eval=dataclasses.replace(TINY.eval, batch_size=2),
+        train=TINY.train,
+    )
+    preds_dir = str(tmp_path / "preds")
+    evaluate(cfg, g_state.params, fwd, eval_ds(), verbose=False,
+             save_preds=preds_dir)
+    import os
+
+    files = sorted(os.listdir(preds_dir))
+    assert files == [f"pred_{i:06d}.npy" for i in range(5)]
+    # pred_i must equal the direct forward of dataset sample i
+    rng = np.random.default_rng(0)
+    for i, sh in enumerate(shapes):
+        b = _batch(5 + i, b=1)
+        rng.uniform(1, 79, (1, *sh))  # keep the gt stream aligned
+        expect = np.asarray(fwd(g_state.params, b["rgb"]))[0, ..., 0]
+        got = np.load(os.path.join(preds_dir, f"pred_{i:06d}.npy"))
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
