@@ -34,8 +34,11 @@ def _manager(
     re-scan the directory and, for async saves, lose the in-flight
     commit).  `kind` separates managers by handler type: a manager
     binds its item handler on first use, so Standard and PyTree
-    restores need distinct instances."""
-    key = (os.path.abspath(ckpt_dir), use_async, kind)
+    restores need distinct instances.  ``keep`` is part of the cache
+    key: a restore (default keep) followed by saves with a different
+    retention setting must NOT reuse the restore's manager — orbax
+    would silently delete down to the stale max_to_keep."""
+    key = (os.path.abspath(ckpt_dir), keep, use_async, kind)
     if key not in _MANAGERS:
         _MANAGERS[key] = ocp.CheckpointManager(
             os.path.abspath(ckpt_dir),

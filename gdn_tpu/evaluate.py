@@ -59,8 +59,9 @@ def make_eval_step(
         )
         mask = range_mask & crop
         if cfg.eval.median_scaling:
+            # scale the RAW pred (apply_cap clips; see median_scale doc)
             pred_ = M.median_scale(
-                pred_, gt_, mask, cfg.model.min_depth, cfg.eval.cap
+                pred, gt_, mask, cfg.model.min_depth, cfg.eval.cap
             )
         return M.compute_errors(gt_, pred_, mask)
 

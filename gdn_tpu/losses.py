@@ -59,6 +59,17 @@ def _gradient_scale_losses(
             gt_w = _avgpool2(gt * mask)
             m_w = _avgpool2(mask)
             gt = gt_w / jnp.maximum(m_w, 1e-6)
+            # All-4-children-valid rule.  NOTE (documented behavior, not
+            # a bug): on sparse LiDAR GT (~5% dense KITTI) coarse scales
+            # rarely have fully-valid 2x2 blocks, so scales 1..N-1
+            # contribute ~0 and the fixed /num_scales divisor in
+            # gradient_loss weights the surviving scale-0 term at 1/N —
+            # i.e. w_grad is effectively weaker on sparse GT than on
+            # dense GT.  Kept as-is: the per-scale validity rule is the
+            # conservative choice (no gradient supervision across
+            # interpolated holes) and the λ weights are unpinned
+            # assumptions (PARITY.md "known deltas") tuned WITH this
+            # semantics; changing it would silently retune the loss.
             mask = (m_w > 0.999).astype(jnp.float32)  # all 4 children valid
         if s == 0 and skip_first:
             continue
@@ -167,6 +178,12 @@ def latent_loss(
     §3.2).  `feats_b` is treated as the (stop-gradient) target by the
     caller.
     """
+    if len(feats_a) != len(feats_b):
+        raise ValueError(
+            f"feature pyramids differ in depth: {len(feats_a)} vs "
+            f"{len(feats_b)} (zip would silently truncate while the "
+            "mean divides by the full length)"
+        )
     total = jnp.float32(0.0)
     for a, b in zip(feats_a, feats_b):
         total = total + jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))

@@ -150,9 +150,20 @@ def median_scale(
     min_depth: float,
     cap: float,
 ) -> jnp.ndarray:
-    """Median-scaling protocol: rescale pred so masked medians match."""
-    scale = masked_median(gt, mask) / jnp.maximum(
-        masked_median(pred, mask), 1e-8
+    """Median-scaling protocol: rescale pred so masked medians match.
+
+    ``pred`` must be the RAW (unclipped) prediction — the standard
+    protocol takes the ratio on raw values and clips AFTER scaling
+    (clipping first would clamp the pred median to the cap and bias
+    the factor for unscaled predictors, the exact case this exists
+    for).  An empty mask or a degenerate (<=0) pred median yields
+    scale=1 instead of inf/NaN poisoning the whole run's accumulator."""
+    count = jnp.sum(mask)
+    med_pred = masked_median(pred, mask)
+    scale = jnp.where(
+        (count > 0) & (med_pred > 1e-8),
+        masked_median(gt, mask) / jnp.maximum(med_pred, 1e-8),
+        1.0,
     )
     return jnp.clip(pred * scale, min_depth, cap)
 
@@ -176,7 +187,8 @@ def evaluate_prediction(
     gt_, pred_, range_mask = apply_cap(gt, pred, min_depth, cap)
     mask = range_mask & cmask
     if median_scaling:
-        pred_ = median_scale(pred_, gt_, mask, min_depth, cap)
+        # scale the RAW pred (apply_cap clips; see median_scale doc)
+        pred_ = median_scale(pred, gt_, mask, min_depth, cap)
     return compute_errors(gt_, pred_, mask)
 
 

@@ -94,6 +94,10 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
+        if c.norm not in ("group", "none"):
+            # fail loudly like the upsample/gn_impl knobs — a typo must
+            # not silently train an unnormalized network
+            raise ValueError(f"unknown norm {c.norm!r} (group|none)")
         if c.norm != "group":
             x = nn.Conv(
                 self.features,

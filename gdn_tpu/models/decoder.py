@@ -40,6 +40,13 @@ class Decoder(nn.Module):
         dec_feats = []
         depth_scales = []
         # skips are fine->coarse; consume coarse->fine.
+        if len(c.dec_channels) > len(skips):
+            # would wrap into negative indexing below and silently
+            # re-fuse the coarsest skip (wrong-resolution output)
+            raise ValueError(
+                f"dec_channels has {len(c.dec_channels)} scales but the "
+                f"encoder produced only {len(skips)} skips"
+            )
         for i, ch in enumerate(c.dec_channels):
             skip = skips[len(skips) - 1 - i]
             x = UpBlock(ch, cfg=c, name=f"up{i}")(

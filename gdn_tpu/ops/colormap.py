@@ -50,10 +50,15 @@ def colorize_depth(
     d = np.asarray(depth, dtype=np.float32)
     if max_depth is None:
         max_depth = float(np.percentile(d[d > 0], 99)) if (d > 0).any() else 1.0
-    d = np.clip(d, 1e-3, max_depth)
+    # near plane for the inverse-depth normalization: 1/50 of the range
+    # (1.6 m on KITTI's 80 m).  A hard-coded 1 m plane degenerated for
+    # max_depth <= 1 (denominator clamped to 1e-6 -> solid-color image)
+    # and saturated all content nearer than 1 m.
+    near = max_depth / 50.0
+    d = np.clip(d, near, max_depth)
     if invert:
         x = 1.0 / d
-        x = (x - 1.0 / max_depth) / max(1.0 - 1.0 / max_depth, 1e-6)
+        x = (x - 1.0 / max_depth) / (1.0 / near - 1.0 / max_depth)
     else:
         x = d / max_depth
     x = np.clip(x, 0.0, 1.0)

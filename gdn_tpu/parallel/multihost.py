@@ -40,6 +40,13 @@ def maybe_initialize(
             process_id=process_id,
         )
         return True
+    if num_processes is not None or process_id is not None:
+        # explicit multi-process topology without a coordinator would
+        # otherwise silently degrade to N independent full-batch runs
+        raise ValueError(
+            "num_processes/process_id given but no coordinator_address "
+            "(or JAX_COORDINATOR_ADDRESS) to initialize against"
+        )
     return jax.process_count() > 1
 
 

@@ -7,6 +7,7 @@ version, so agreement is meaningful.
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from gdn_tpu import metrics
@@ -122,3 +123,33 @@ def test_full_eval_protocol_parity_with_torch(rng):
     )
     for k, v in ref.items():
         assert ours[k] == pytest.approx(v, rel=2e-4), k
+
+
+def test_median_scaling_uses_raw_pred():
+    """The scale ratio must come from the RAW prediction: clipping
+    first clamps the pred median to the cap and biases the factor for
+    unscaled predictors (review finding)."""
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(5, 20, (40, 60)).astype(np.float32)
+    # unscaled predictor: correct structure, 10x too large (median >> cap)
+    pred = gt * 10.0
+    out = metrics.evaluate_prediction(
+        jnp.asarray(gt), jnp.asarray(pred), cap=80.0, crop="none",
+        median_scaling=True,
+    )
+    # raw-ratio scaling recovers gt exactly -> near-perfect metrics
+    assert float(out["abs_rel"]) < 1e-5
+    assert float(out["a1"]) > 0.999
+
+
+def test_median_scaling_empty_mask_is_finite():
+    """An all-invalid image must not poison the accumulator with NaNs
+    (masked_median returns +inf on empty masks; review finding)."""
+    gt = np.zeros((20, 30), np.float32)  # all pixels invalid (<= min)
+    pred = np.full((20, 30), 5.0, np.float32)
+    out = metrics.evaluate_prediction(
+        jnp.asarray(gt), jnp.asarray(pred), cap=80.0, crop="none",
+        median_scaling=True,
+    )
+    for k, v in out.items():
+        assert np.isfinite(float(v)), k
