@@ -152,6 +152,17 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
                         "the prediction with the un-mirrored prediction "
                         "of the mirrored input (standard monodepth "
                         "post-processing; one 2B-wide dispatch)")
+    p.add_argument("--gt_wire", choices=["f32", "u16"], default=None,
+                   help="H2D wire format for the raw-res GT batch (the "
+                        "harness's dominant transfer): u16 ships "
+                        "round(gt*256) counts — exact for KITTI's "
+                        "16-bit-PNG GT, <=2 mm otherwise — at 1/4 the "
+                        "bytes; f32 (default) keeps the bit-exact "
+                        "protocol")
+    p.add_argument("--rgb_wire", choices=["auto", "f32"], default=None,
+                   help="eval RGB upload format: auto (default) ships "
+                        "bfloat16 when the model computes in bfloat16 "
+                        "(bit-identical, half the bytes)")
     p.add_argument("--num_devices", type=int, default=1,
                    help="data-parallel eval over this many chips "
                         "(1 = single device; 0 = all; eval_batch must "
@@ -227,6 +238,10 @@ def build_config(args: argparse.Namespace) -> Config:
             over["eval.median_scaling"] = True
         if getattr(args, "eval_batch", None):
             over["eval.batch_size"] = args.eval_batch
+        if getattr(args, "gt_wire", None):
+            over["eval.gt_wire"] = args.gt_wire
+        if getattr(args, "rgb_wire", None):
+            over["eval.rgb_wire"] = args.rgb_wire
         if hasattr(args, "num_devices"):
             over["mesh.num_devices"] = args.num_devices
     return _with(cfg, **over)

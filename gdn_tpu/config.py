@@ -327,6 +327,20 @@ class EvalConfig:
     # Median scaling is OFF for the supervised protocol (SURVEY.md §2.7).
     median_scaling: bool = False
     batch_size: int = 1
+    # Host->device wire format for the raw-resolution GT batch — the
+    # harness's dominant transfer (~1.86 MB/image at KITTI raw res as
+    # fp32, measured as the end-to-end bottleneck on remote-attached
+    # chips, BASELINE.md).  "u16" ships round(gt*256) uint16 counts and
+    # decodes on device: EXACT for KITTI GT (the 16-bit-PNG /256
+    # encoding it was loaded from), <=1/512 m quantization otherwise,
+    # range 256 m; 4x fewer bytes.  "f32" (default) keeps the
+    # bit-exact-protocol contract for arbitrary float GT.
+    gt_wire: str = "f32"  # "f32" | "u16"
+    # Wire format for the eval RGB batch.  "auto" uploads bfloat16
+    # whenever the model computes in bfloat16 — bit-identical results
+    # (the conv stack's first op is the same cast) at half the bytes —
+    # and fp32 otherwise; "f32" forces fp32.
+    rgb_wire: str = "auto"  # "auto" | "f32"
 
 
 @dataclasses.dataclass(frozen=True)

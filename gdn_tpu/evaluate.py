@@ -66,6 +66,8 @@ def make_eval_step(
         return M.compute_errors(gt_, pred_, mask)
 
     def step(params, rgb, gt):
+        if gt.dtype == jnp.uint16:  # "u16" wire: decode counts on device
+            gt = gt.astype(jnp.float32) * (1.0 / 256.0)
         pred = forward(params, rgb)[..., 0]  # (B, H, W) train res
         per_image = jax.vmap(one)(pred, gt)
         # ONE stacked (n_metrics, B) output: a dict fetch is one host
@@ -89,10 +91,39 @@ def make_eval_step(
     )
 
 
+def _wire_encoders(cfg: Config):
+    """Host-side wire encoders for (rgb, gt) H2D uploads (EvalConfig
+    gt_wire / rgb_wire).  The matching device-side decode lives at the
+    top of the eval step (u16 GT) or is implicit (bf16 RGB: the conv
+    stack's own input cast, bit-identical when the model computes in
+    bfloat16)."""
+    if cfg.eval.gt_wire == "u16":
+        def enc_gt(gt):
+            return np.clip(np.round(gt * 256.0), 0, 65535).astype(np.uint16)
+    elif cfg.eval.gt_wire == "f32":
+        enc_gt = None
+    else:
+        raise ValueError(f"unknown gt_wire {cfg.eval.gt_wire!r} (f32|u16)")
+    if cfg.eval.rgb_wire == "auto" and cfg.model.dtype == "bfloat16":
+        import ml_dtypes
+
+        def enc_rgb(rgb):
+            return np.asarray(rgb, np.float32).astype(ml_dtypes.bfloat16)
+    elif cfg.eval.rgb_wire in ("auto", "f32"):
+        enc_rgb = None
+    else:
+        raise ValueError(
+            f"unknown rgb_wire {cfg.eval.rgb_wire!r} (auto|f32)"
+        )
+    return enc_rgb, enc_gt
+
+
 def _batch_iter(
     dataset: Iterable[Dict[str, np.ndarray]],
     bs: int,
     max_images: Optional[int],
+    enc_rgb=None,
+    enc_gt=None,
 ) -> Iterator[
     Tuple[Tuple[int, int], np.ndarray, np.ndarray, int, Tuple[int, ...]]
 ]:
@@ -116,6 +147,10 @@ def _batch_iter(
             [np.asarray(s["gt"]) for s in samples]
             + [np.asarray(samples[-1]["gt"])] * pad
         )
+        if enc_rgb is not None:
+            rgb = enc_rgb(rgb)
+        if enc_gt is not None:
+            gt = enc_gt(gt)
         return rgb, gt, len(samples), idxs
 
     pending: Dict[Tuple[int, int], list] = {}
@@ -252,8 +287,10 @@ def evaluate(
                         preds[i],
                     )
 
+    enc_rgb, enc_gt = _wire_encoders(cfg)
     for shape, rgb, gt, n_real, idxs in _prefetch(
-        _batch_iter(dataset, bs, max_images), sharding=sharding
+        _batch_iter(dataset, bs, max_images, enc_rgb, enc_gt),
+        sharding=sharding,
     ):
         if shape not in steps:
             steps[shape] = make_eval_step(

@@ -31,7 +31,10 @@ class DtoDNet(nn.Module):
           dec_feats: list of decoder feature maps, coarse->fine
           skips:     encoder laterals, fine->coarse
         """
-        x = depth / self.cfg.max_depth  # normalize into [0, 1]
+        # Cast before the normalize (see rtod.py): same mixed-precision
+        # program (bf16 relative precision is scale-invariant), and the
+        # bf16 input wire becomes bit-identical to the fp32 wire.
+        x = depth.astype(self.cfg.compute_dtype) / self.cfg.max_depth
         latent, skips = Encoder(cfg=self.cfg, name="encoder")(x)
         recon, dec_feats, depth_scales = Decoder(
             cfg=self.cfg, name="decoder"

@@ -36,7 +36,12 @@ class RtoDNet(nn.Module):
         Returns dict with depth / latent / dec_feats / skips (same
         contract as DtoDNet so the guidance loss can zip them).
         """
-        x = rgb * 2.0 - 1.0  # center RGB
+        # Cast to the compute dtype BEFORE the centering prologue: the
+        # encoder casts right after anyway (encoder.py), so this is the
+        # same mixed-precision program — and it makes a bfloat16 RGB
+        # H2D wire (EvalConfig.rgb_wire="auto") bit-identical to the
+        # fp32 wire by construction.
+        x = rgb.astype(self.cfg.compute_dtype) * 2.0 - 1.0  # center RGB
         latent, skips = Encoder(cfg=self.cfg, name="encoder")(x)
         depth, dec_feats, depth_scales = Decoder(
             cfg=self.cfg, name="decoder"

@@ -28,6 +28,13 @@ deployable anywhere the library runs.  Endpoints:
 Input images of any size are host-resized (PIL bilinear) to the
 model's train resolution; the returned depth map is resized back to
 the request's resolution (same contract as demo.DepthPredictor).
+
+Wire formats (transfers dominate remote-attached serving, BASELINE.md):
+inputs always ride H2D as uint8 (the /255 decode runs on device —
+identical to float rounding, 1/4 the bytes); ``wire="u16"`` fetches
+depth as round(depth*256) uint16 counts (half the D2H bytes; png16
+responses are then encode-free, npy dequantizes to meters at 1/256 m
+resolution).
 """
 
 from __future__ import annotations
@@ -70,12 +77,17 @@ class DynamicBatcher:
 
     def __init__(self, cfg: Optional[Config], params, batch_size: int = 8,
                  max_wait_ms: float = 5.0, *, timeout_s: float = 600.0,
-                 predictor: Optional[BatchedPredictor] = None):
+                 predictor: Optional[BatchedPredictor] = None,
+                 wire: str = "f32"):
         self.cfg = cfg
         self._predictor = (
             predictor if predictor is not None
             else BatchedPredictor(cfg, params, batch_size)
         )
+        # D2H fetch format for every batch ("f32" meters | "u16"
+        # depth*256 counts — half the fetch bytes, exact to 1/256 m;
+        # with u16 the npy format returns the dequantized meters).
+        self.wire = wire
         self.batch_size = self._predictor.batch_size
         self.max_wait_s = max_wait_ms / 1000.0
         self.timeout_s = timeout_s
@@ -94,8 +106,10 @@ class DynamicBatcher:
 
     def predict(self, rgb: np.ndarray,
                 timeout: Optional[float] = None) -> np.ndarray:
-        """rgb (H, W, 3) float32 [0,1] at model resolution -> depth
-        (H, W) float32 meters.  Blocks until the batched result lands."""
+        """rgb (H, W, 3) float32 [0,1] or uint8 [0,255] at model
+        resolution -> depth (H, W): float32 meters, or uint16
+        round(depth*256) counts under ``wire="u16"``.  Blocks until
+        the batched result lands."""
         if self._stopped:
             raise RuntimeError("batcher is stopped")
         p = _Pending(rgb)
@@ -161,7 +175,7 @@ class DynamicBatcher:
     def _flush(self, batch) -> None:
         try:
             rgbs = np.stack([p.rgb for p in batch])
-            depths = self._predictor.predict(rgbs)
+            depths = self._predictor.predict(rgbs, wire=self.wire)
             for p, d in zip(batch, depths):
                 p.depth = d
         except Exception as e:  # noqa: BLE001 - surfaced to every caller
@@ -176,14 +190,23 @@ class DynamicBatcher:
 
 
 def _encode_depth(depth: np.ndarray, fmt: str, max_depth: float):
-    """depth (H, W) float32 meters -> (content_type, bytes)."""
+    """depth (H, W) float32 meters OR uint16 wire counts (depth*256,
+    the ``--wire u16`` fetch format) -> (content_type, bytes)."""
+    if depth.dtype == np.uint16 and fmt == "png16":
+        # already the png16 payload — no conversion at all
+        buf = io.BytesIO()
+        Image.fromarray(depth, mode="I;16").save(buf, format="PNG")
+        return "image/png", buf.getvalue()
+    if depth.dtype == np.uint16:
+        depth = depth.astype(np.float32) / 256.0  # counts -> meters
     if fmt == "npy":
         buf = io.BytesIO()
         np.save(buf, depth.astype(np.float32))
         return "application/octet-stream", buf.getvalue()
     if fmt == "png16":
         # KITTI GT encoding: uint16 PNG at depth*256 mm (data/kitti.py).
-        d16 = np.clip(depth * 256.0, 0, 65535).astype(np.uint16)
+        # round (not truncate) — matches the device-side u16 wire.
+        d16 = np.clip(np.round(depth * 256.0), 0, 65535).astype(np.uint16)
         buf = io.BytesIO()
         Image.fromarray(d16, mode="I;16").save(buf, format="PNG")
         return "image/png", buf.getvalue()
@@ -204,16 +227,18 @@ class DepthServer:
                  host: str = "127.0.0.1", port: int = 0,
                  batch_size: int = 8, max_wait_ms: float = 5.0,
                  warmup: bool = True, timeout_s: float = 600.0,
-                 predictor: Optional[BatchedPredictor] = None):
+                 predictor: Optional[BatchedPredictor] = None,
+                 wire: str = "f32"):
         """Either (cfg, params) for a live-checkpoint server, or
         ``predictor=BatchedPredictor.from_artifact(path)`` for a
         StableHLO-artifact server (cfg optional — only max_depth for
         color rendering is taken from it; colorize falls back to
-        per-image normalization without it)."""
+        per-image normalization without it).  ``wire`` selects the
+        device fetch format ("f32" | "u16", see DynamicBatcher)."""
         self.cfg = cfg
         self.batcher = DynamicBatcher(
             cfg, params, batch_size, max_wait_ms, timeout_s=timeout_s,
-            predictor=predictor,
+            predictor=predictor, wire=wire,
         )
         th, tw = self.batcher._predictor.image_size
         if warmup:
@@ -221,9 +246,10 @@ class DepthServer:
             # the first request never pays the (minutes-scale on a cold
             # TPU) jit compile inside its own latency budget.  Warm the
             # predictor directly: /stats latency must not fold the
-            # compile time in.
+            # compile time in.  Warm the SERVING path (uint8 input +
+            # the configured wire), which is its own jit program.
             self.batcher._predictor.predict(
-                np.zeros((1, th, tw, 3), np.float32)
+                np.zeros((1, th, tw, 3), np.uint8), wire=wire
             )
         max_depth = cfg.model.max_depth if cfg is not None else None
         batcher = self.batcher
@@ -248,6 +274,7 @@ class DepthServer:
                         "image_size": [th, tw],
                         "batch_size": batcher.batch_size,
                         "max_wait_ms": batcher.max_wait_s * 1000.0,
+                        "wire": batcher.wire,
                     })
                 elif path == "/stats":
                     with batcher._stats_lock:
@@ -282,12 +309,16 @@ class DepthServer:
                     self._json(400, {"error": f"bad image: {e}"})
                     return
                 w0, h0 = img.size
-                x = np.asarray(
-                    img.resize((tw, th), Image.BILINEAR), np.float32
-                ) / 255.0
+                # uint8 straight through: the /255 decode runs on
+                # device (serving._prep_rgb) — 1/4 the upload bytes.
+                x = np.asarray(img.resize((tw, th), Image.BILINEAR),
+                               np.uint8)
                 try:
                     depth = batcher.predict(x)
                     if (h0, w0) != (th, tw):
+                        if depth.dtype == np.uint16:  # u16 wire: bytes
+                            # already saved; resize in meters
+                            depth = depth.astype(np.float32) / 256.0
                         depth = np.asarray(Image.fromarray(depth).resize(
                             (w0, h0), Image.BILINEAR
                         ))

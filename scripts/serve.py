@@ -37,6 +37,11 @@ def main():
     p.add_argument("--init_random", action="store_true",
                    help="serve randomly initialized weights (no "
                         "checkpoint needed; smoke tests only)")
+    p.add_argument("--wire", choices=["f32", "u16"], default="f32",
+                   help="device fetch format: f32 meters, or u16 "
+                        "depth*256 counts (half the D2H bytes, exact "
+                        "to 1/256 m — png16 responses need no "
+                        "conversion at all)")
     p.add_argument("--artifact", type=str, default="",
                    help="serve a scripts/export.py StableHLO artifact "
                         "instead of a checkpoint (params, batch size "
@@ -78,6 +83,7 @@ def main():
         cfg, params, host=args.host, port=args.port,
         batch_size=args.serve_batch, max_wait_ms=args.max_wait_ms,
         timeout_s=args.request_timeout, predictor=predictor,
+        wire=args.wire,
     )
     print(f"serving on http://{args.host}:{server.port} "
           f"(batch={args.serve_batch}, window={args.max_wait_ms}ms)",

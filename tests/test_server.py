@@ -204,6 +204,54 @@ def test_serve_cli_subprocess(tmp_path):
             proc.kill()
 
 
+def test_server_u16_wire_formats(server):
+    """A wire="u16" server must produce the same responses as the f32
+    server for every format (png16 is byte-identical by construction;
+    npy/color within the 1/256 m wire quantization)."""
+    from gdn_tpu.models import RtoDNet
+    from gdn_tpu.server import DepthServer
+    from gdn_tpu.train import create_state
+
+    params = create_state(
+        RtoDNet(cfg=TINY.model), (1, 32, 64, 3), TINY.train, 1
+    ).params
+    srv = DepthServer(TINY, params, port=0, batch_size=4,
+                      max_wait_ms=5.0, wire="u16")
+    srv.start()
+    try:
+        base16 = f"http://127.0.0.1:{srv.port}"
+        base32 = f"http://127.0.0.1:{server.port}"
+        assert _get_json(f"{base16}/healthz")["wire"] == "u16"
+        body = _png_bytes(32, 64, seed=11)
+
+        st, ct, raw32 = _post(f"{base32}/predict?format=png16", body)
+        st2, ct2, raw16 = _post(f"{base16}/predict?format=png16", body)
+        assert (st, ct) == (st2, ct2) == (200, "image/png")
+        a = np.asarray(Image.open(io.BytesIO(raw32))).astype(np.int64)
+        b = np.asarray(Image.open(io.BytesIO(raw16))).astype(np.int64)
+        # device-side vs host-side round(d*256): at most .5-boundary skew
+        assert np.abs(a - b).max() <= 1
+
+        st, _, raw = _post(f"{base16}/predict", body)  # npy from u16 wire
+        assert st == 200
+        d = np.load(io.BytesIO(raw))
+        assert d.dtype == np.float32
+        st, _, ref = _post(f"{base32}/predict", body)
+        np.testing.assert_allclose(
+            d, np.load(io.BytesIO(ref)), atol=1 / 256.0
+        )
+
+        st, ct, raw = _post(f"{base16}/predict?format=color", body)
+        assert st == 200 and Image.open(io.BytesIO(raw)).mode == "RGB"
+
+        # resize-back path dequantizes before the host resize
+        st, _, raw = _post(f"{base16}/predict", _png_bytes(40, 70, seed=12))
+        assert st == 200
+        assert np.load(io.BytesIO(raw)).shape == (40, 70)
+    finally:
+        srv.stop()
+
+
 def test_batcher_stop_fails_fast():
     """predict() after stop() must raise immediately, not hang out the
     request timeout; stats must count errors."""

@@ -56,6 +56,55 @@ def test_batched_predictor_partial_batch(g_params):
     np.testing.assert_allclose(out[:4], out2, atol=1e-6)
 
 
+def test_predictor_uint8_input_matches_host_conversion(g_params):
+    """uint8 wire input (device-side /255 decode) must match host-side
+    float conversion to float rounding (XLA rewrites the constant
+    division as a reciprocal multiply: ~1e-6 relative, measured) at
+    1/4 the H2D bytes."""
+    from gdn_tpu.serving import BatchedPredictor
+
+    pred = BatchedPredictor(TINY, g_params, batch_size=4)
+    u8 = np.random.default_rng(2).integers(0, 256, (4, 32, 64, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    np.testing.assert_allclose(
+        pred.predict(u8), pred.predict(f32), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_predictor_u16_wire_matches_png16_encoding(g_params):
+    """wire="u16" must return exactly the KITTI png16 payload values
+    (round(depth*256) clipped uint16) the host would compute from the
+    fp32 fetch."""
+    from gdn_tpu.serving import BatchedPredictor
+
+    pred = BatchedPredictor(TINY, g_params, batch_size=4)
+    rgbs = np.random.default_rng(3).uniform(0, 1, (4, 32, 64, 3)).astype(np.float32)
+    d32 = pred.predict(rgbs)
+    d16 = pred.predict(rgbs, wire="u16")
+    assert d16.dtype == np.uint16
+    expect = np.clip(np.round(d32.astype(np.float64) * 256.0), 0, 65535)
+    # round() runs on device in fp32 there vs fp64 here: allow 1 count
+    # of rounding skew at the .5 boundaries, none elsewhere
+    assert np.abs(d16.astype(np.int64) - expect.astype(np.int64)).max() <= 1
+
+
+def test_artifact_predictor_wire_options(tmp_path, g_params):
+    """The StableHLO-artifact path composes the same uint8-in / u16-out
+    wire (exported.call wrapped under jit)."""
+    from gdn_tpu.serving import BatchedPredictor, export_model
+
+    path = str(tmp_path / "model.stablehlo")
+    export_model(TINY, g_params, path, batch_size=2)
+    pred = BatchedPredictor.from_artifact(path)
+    u8 = np.random.default_rng(4).integers(0, 256, (2, 32, 64, 3)).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+    np.testing.assert_allclose(
+        pred.predict(u8), pred.predict(f32), rtol=1e-5, atol=1e-4
+    )
+    d16 = pred.predict(u8, wire="u16")
+    assert d16.dtype == np.uint16 and d16.shape == (2, 32, 64)
+
+
 def test_run_demo_writes_outputs(tmp_path, g_params):
     from gdn_tpu.demo import run_demo
 

@@ -408,6 +408,103 @@ def test_eval_median_scaling_flag(d_state):
         assert r_on[k] == pytest.approx(oracle[k], rel=1e-5), k
 
 
+def test_eval_gt_wire_u16_exact_for_png_sourced_gt():
+    """gt_wire="u16" (round(gt*256) uint16 H2D wire) must reproduce the
+    f32-wire metrics EXACTLY when the GT itself came from the KITTI
+    16-bit-PNG /256 encoding — the encode/decode round-trip is the
+    identity on such values."""
+    import dataclasses
+    from gdn_tpu.config import EvalConfig
+    from gdn_tpu.evaluate import evaluate
+
+    g_model = RtoDNet(cfg=TINY.model)
+    g_state = create_state(g_model, (1, 32, 64, 3), TINY.train, 10)
+    fwd = make_eval_forward(TINY, g_model)
+
+    rng = np.random.default_rng(7)
+    samples = []
+    for i in range(3):
+        b = _batch(300 + i, b=1)
+        # GT exactly as data/kitti.py produces it: uint16 counts / 256.
+        counts = rng.integers(256, 79 * 256, (1, 96, 192)).astype(np.uint16)
+        gt = counts.astype(np.float32) / 256.0
+        samples.append({"rgb": np.asarray(b["rgb"]), "gt": gt})
+
+    cfg_f32 = Config(
+        model=TINY.model, eval=EvalConfig(batch_size=2), train=TINY.train
+    )
+    cfg_u16 = dataclasses.replace(
+        cfg_f32, eval=EvalConfig(batch_size=2, gt_wire="u16")
+    )
+    r_f32 = evaluate(cfg_f32, g_state.params, fwd, iter(samples), verbose=False)
+    r_u16 = evaluate(cfg_u16, g_state.params, fwd, iter(samples), verbose=False)
+    for k in ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"):
+        assert r_f32[k] == r_u16[k], k
+
+
+def test_eval_gt_wire_u16_quantization_bounded_on_float_gt():
+    """On arbitrary float GT the u16 wire quantizes to 1/256 m — the
+    metric movement must stay at that scale (documented opt-in loss)."""
+    import dataclasses
+    from gdn_tpu.config import EvalConfig
+    from gdn_tpu.evaluate import evaluate
+
+    g_model = RtoDNet(cfg=TINY.model)
+    g_state = create_state(g_model, (1, 32, 64, 3), TINY.train, 10)
+    fwd = make_eval_forward(TINY, g_model)
+
+    rng = np.random.default_rng(8)
+    samples = []
+    for i in range(2):
+        b = _batch(400 + i, b=1)
+        gt = rng.uniform(1, 79, (1, 96, 192)).astype(np.float32)
+        samples.append({"rgb": np.asarray(b["rgb"]), "gt": gt})
+
+    cfg_f32 = Config(
+        model=TINY.model, eval=EvalConfig(batch_size=2), train=TINY.train
+    )
+    cfg_u16 = dataclasses.replace(
+        cfg_f32, eval=EvalConfig(batch_size=2, gt_wire="u16")
+    )
+    r_f32 = evaluate(cfg_f32, g_state.params, fwd, iter(samples), verbose=False)
+    r_u16 = evaluate(cfg_u16, g_state.params, fwd, iter(samples), verbose=False)
+    assert r_f32["rmse"] == pytest.approx(r_u16["rmse"], abs=2e-3)
+    assert r_f32["abs_rel"] == pytest.approx(r_u16["abs_rel"], abs=2e-3)
+
+
+def test_eval_rgb_wire_bf16_bit_identical_for_bf16_model():
+    """rgb_wire="auto" ships bfloat16 RGB when the model computes in
+    bfloat16; the conv stack's first op is that exact cast, so the
+    metrics must be bit-identical to the fp32 wire."""
+    import dataclasses
+    from gdn_tpu.config import EvalConfig
+    from gdn_tpu.evaluate import evaluate
+
+    bf16_model = dataclasses.replace(TINY.model, dtype="bfloat16")
+    cfg = dataclasses.replace(TINY, model=bf16_model)
+    g_model = RtoDNet(cfg=bf16_model)
+    g_state = create_state(g_model, (1, 32, 64, 3), cfg.train, 10)
+    fwd = make_eval_forward(cfg, g_model)
+
+    rng = np.random.default_rng(9)
+    samples = []
+    for i in range(3):
+        b = _batch(500 + i, b=1)
+        gt = rng.uniform(1, 79, (1, 96, 192)).astype(np.float32)
+        samples.append({"rgb": np.asarray(b["rgb"]), "gt": gt})
+
+    cfg_auto = Config(
+        model=bf16_model, eval=EvalConfig(batch_size=2), train=cfg.train
+    )
+    cfg_f32 = dataclasses.replace(
+        cfg_auto, eval=EvalConfig(batch_size=2, rgb_wire="f32")
+    )
+    r_auto = evaluate(cfg_auto, g_state.params, fwd, iter(samples), verbose=False)
+    r_f32 = evaluate(cfg_f32, g_state.params, fwd, iter(samples), verbose=False)
+    for k in ("abs_rel", "rmse", "a1"):
+        assert r_auto[k] == r_f32[k], k
+
+
 def test_async_checkpoint_roundtrip(tmp_path, d_state):
     from gdn_tpu.checkpoint import (
         restore_checkpoint, save_checkpoint, wait_for_checkpoints,
