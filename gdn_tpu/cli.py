@@ -70,6 +70,11 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_schedule", choices=["step", "cosine", "constant"],
+                   default="step",
+                   help="LR shape: step (reference decay), cosine to 0 "
+                        "over the full run, or constant; all compose "
+                        "with --warmup_steps/--grad_accum")
     p.add_argument("--decay_epochs", type=int, default=20)
     p.add_argument("--decay_gamma", type=float, default=0.5)
     p.add_argument("--warmup_steps", type=int, default=0,
@@ -210,6 +215,7 @@ def build_config(args: argparse.Namespace) -> Config:
             "train.mode": args.mode,
             "train.epochs": args.epochs,
             "train.lr": args.lr,
+            "train.schedule": args.lr_schedule,
             "train.decay_epochs": args.decay_epochs,
             "train.decay_gamma": args.decay_gamma,
             "train.steps_per_epoch": args.steps_per_epoch,

@@ -244,6 +244,11 @@ class TrainConfig:
     beta2: float = 0.999
     eps: float = 1e-8
     weight_decay: float = 0.0
+    # LR schedule shape: "step" (the reference's lr * gamma every
+    # decay_epochs), "cosine" (cosine decay to 0 over the full run —
+    # the modern default for fixed-length production runs), or
+    # "constant".  All compose with warmup_steps/grad_accum.
+    schedule: str = "step"
     # Step-decay schedule: lr * gamma every `decay_epochs`.
     decay_epochs: int = 20
     decay_gamma: float = 0.5

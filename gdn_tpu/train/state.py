@@ -33,8 +33,10 @@ class TrainState(train_state.TrainState):
 
 
 def lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
-    """lr * gamma^(epoch // decay_epochs), the reference's step decay,
-    optionally preceded by a linear 0 -> lr warmup (cfg.warmup_steps).
+    """cfg.schedule: "step" = lr * gamma^(epoch // decay_epochs) (the
+    reference's decay), "cosine" = cosine to 0 over epochs *
+    steps_per_epoch, or "constant"; optionally preceded by a linear
+    0 -> lr warmup (cfg.warmup_steps).
 
     decay_epochs/warmup_steps are documented in TRAIN-LOOP steps
     (micro-steps).  Under grad_accum>1 the schedule counter only
@@ -43,14 +45,27 @@ def lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
     converted to update units here — otherwise the decay would fire
     grad_accum x too late in wall-clock epochs."""
     accum = max(1, cfg.grad_accum)
-    decay = optax.exponential_decay(
-        init_value=cfg.lr,
-        transition_steps=max(1, cfg.decay_epochs * steps_per_epoch // accum),
-        decay_rate=cfg.decay_gamma,
-        staircase=True,
-    )
-    if cfg.warmup_steps:
-        warmup_updates = max(1, cfg.warmup_steps // accum)
+    warmup_updates = max(1, cfg.warmup_steps // accum) if cfg.warmup_steps else 0
+    if cfg.schedule == "step":
+        decay = optax.exponential_decay(
+            init_value=cfg.lr,
+            transition_steps=max(1, cfg.decay_epochs * steps_per_epoch // accum),
+            decay_rate=cfg.decay_gamma,
+            staircase=True,
+        )
+    elif cfg.schedule == "cosine":
+        total_updates = max(1, cfg.epochs * steps_per_epoch // accum)
+        decay = optax.cosine_decay_schedule(
+            init_value=cfg.lr,
+            decay_steps=max(1, total_updates - warmup_updates),
+        )
+    elif cfg.schedule == "constant":
+        decay = optax.constant_schedule(cfg.lr)
+    else:
+        raise ValueError(
+            f"unknown schedule {cfg.schedule!r} (step|cosine|constant)"
+        )
+    if warmup_updates:
         warmup = optax.linear_schedule(
             init_value=0.0,
             end_value=cfg.lr,

@@ -42,6 +42,38 @@ def test_warmup_schedule_values():
     np.testing.assert_allclose(float(sched0(0)), 1e-3, rtol=1e-6)
 
 
+def test_cosine_and_constant_schedules():
+    """cfg.schedule selects the LR shape; cosine spans epochs *
+    steps_per_epoch (minus warmup) and decays to 0, constant stays at
+    lr, and both compose with warmup."""
+    base = dataclasses.replace(
+        TINY.train, lr=1e-3, epochs=2, schedule="cosine"
+    )
+    sched = lr_schedule(base, steps_per_epoch=50)  # 100 total updates
+    np.testing.assert_allclose(float(sched(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(50)), 5e-4, rtol=1e-5)  # midpoint
+    assert float(sched(100)) < 1e-8
+
+    warm = dataclasses.replace(base, warmup_steps=10)
+    sw = lr_schedule(warm, steps_per_epoch=50)
+    assert float(sw(0)) == 0.0
+    np.testing.assert_allclose(float(sw(10)), 1e-3, rtol=1e-6)
+    # cosine midpoint shifts past the warmup: (100-10)/2 + 10 = 55
+    np.testing.assert_allclose(float(sw(55)), 5e-4, rtol=1e-5)
+
+    const = dataclasses.replace(base, schedule="constant")
+    sc = lr_schedule(const, steps_per_epoch=50)
+    np.testing.assert_allclose(float(sc(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(sc(99)), 1e-3, rtol=1e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        lr_schedule(
+            dataclasses.replace(base, schedule="bogus"), steps_per_epoch=50
+        )
+
+
 def test_ema_tracks_polyak_average():
     d = 0.5
     cfg = dataclasses.replace(TINY, train=dataclasses.replace(
