@@ -90,6 +90,11 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                    help="accumulate gradients over N micro-batches per "
                         "optimizer update (effective batch = N * "
                         "batch_size)")
+    p.add_argument("--train_wire", choices=["auto", "f32"], default="auto",
+                   help="training-input H2D wire: auto ships uint8 RGB "
+                        "+ uint16 depth counts and decodes on device "
+                        "(4x fewer upload bytes; lossless for PNG "
+                        "sources), f32 keeps host-side conversion")
     p.add_argument("--steps_per_epoch", type=int, default=1000,
                    help="steps per epoch for synthetic/unbounded data")
     p.add_argument("--steps_per_call", type=int, default=1,
@@ -226,6 +231,7 @@ def build_config(args: argparse.Namespace) -> Config:
             "train.grad_accum": args.grad_accum,
             "train.fused_guidance": args.fused_guidance,
             "data.loader": args.loader,
+            "data.train_wire": args.train_wire,
             "train.freeze_decoder": not args.no_freeze_decoder,
             "train.log_every": args.log_every,
             "mesh.num_devices": args.num_devices,

@@ -219,6 +219,17 @@ class DataConfig:
     # pipeline with worker processes and checkpointable iterator state,
     # data/grain_loader.py — the SURVEY §2.1 grain host-decode plan).
     loader: str = "native"
+    # Training-input H2D wire format.  "auto" (default): the host
+    # loaders ship the PNG payloads' own dtypes — uint8 RGB and uint16
+    # depth counts — and the decode (/255, /scale, clip, validity mask)
+    # runs inside the on-device pipeline: 4x fewer upload bytes at the
+    # B=128 operating point (~0.85 MB/img -> 0.21 MB).  Lossless for
+    # the PIL RGB path (PIL resizes in the uint8 domain) and for
+    # 16-bit-PNG depth sources; the native-decoder's antialiased float
+    # RGB quantizes by <=1/510 (below the default color-jitter
+    # amplitude) and float .npy depth by <=0.5/scale m.  "f32" keeps
+    # the round-2 host-side conversion.
+    train_wire: str = "auto"  # "auto" | "f32"
     # KITTI calibration directory (calib_cam_to_cam.txt /
     # calib_velo_to_cam.txt) for eval lists whose GT entries are raw
     # velodyne .bin scans (data/velodyne.py projection).  Empty: only

@@ -174,6 +174,29 @@ def _augment_jit(key, rgb, depth, mask, scale_min, scale_max, do_flip,
     return jax.vmap(fn)(rgb, depth, mask, keys)
 
 
+@partial(jax.jit, static_argnames=("max_depth", "depth_scale"))
+def decode_wire_batch(
+    batch: Dict[str, jnp.ndarray], *, max_depth: float,
+    depth_scale: float = 256.0,
+) -> Dict[str, jnp.ndarray]:
+    """Device-side decode of a wire-format train batch
+    (DataConfig.train_wire="auto"): uint8 RGB -> float32 [0,1], uint16
+    depth counts -> clipped float32 meters + the validity mask the host
+    used to compute (mask = 0 < d < max_depth, so host-zeroed padded
+    rows stay masked out).  Already-float leaves pass through, making
+    this a no-op on "f32"-wire batches."""
+    out = dict(batch)
+    rgb = batch["rgb"]
+    if rgb.dtype == jnp.uint8:
+        out["rgb"] = rgb.astype(jnp.float32) / 255.0
+    depth = batch["depth"]
+    if depth.dtype == jnp.uint16:
+        d = depth.astype(jnp.float32) * (1.0 / depth_scale)
+        out["mask"] = ((d > 0.0) & (d < max_depth)).astype(jnp.float32)
+        out["depth"] = jnp.clip(d, 0.0, max_depth)
+    return out
+
+
 def augment_batch(
     key: jax.Array, batch: Dict[str, jnp.ndarray], cfg: DataConfig
 ) -> Dict[str, jnp.ndarray]:

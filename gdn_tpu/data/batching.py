@@ -90,5 +90,10 @@ class SeekableLoaderMixin:
             batch = self._make_batch(idx)
             if n_pad:
                 # padded rows must not contribute to masked losses
-                batch["mask"][-n_pad:] = 0.0
+                if "mask" in batch:
+                    batch["mask"][-n_pad:] = 0.0
+                else:
+                    # wire-format batch: the device derives the mask as
+                    # depth > 0, so zeroed counts mask the padding out
+                    batch["depth"][-n_pad:] = 0
             yield batch

@@ -56,10 +56,19 @@ def _png_bit_depth(path: str) -> int:
 def load_rgb(path: str, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
     """Decode an RGB image to float32 [0,1], optionally resized (H, W)
     with bilinear interpolation (matches ops/resize semantics)."""
+    return load_rgb_u8(path, size).astype(np.float32) / 255.0
+
+
+def load_rgb_u8(path: str, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Decode an RGB image to uint8, optionally resized (H, W).
+
+    PIL resizes in the uint8 domain, so this is the EXACT wire form of
+    ``load_rgb`` (which is this array / 255) — the uint8 H2D wire for
+    DataConfig.train_wire="auto" is lossless on the PIL path."""
     img = Image.open(path).convert("RGB")
     if size is not None:
         img = img.resize((size[1], size[0]), Image.BILINEAR)
-    return np.asarray(img, dtype=np.float32) / 255.0
+    return np.asarray(img, dtype=np.uint8)
 
 
 def load_depth(path: str, size: Optional[Tuple[int, int]] = None) -> np.ndarray:
@@ -107,6 +116,7 @@ class KittiTrainDataset(SeekableLoaderMixin):
         max_depth: float = 80.0,
         loop: bool = True,
         use_native: bool = True,
+        wire: str = "auto",
     ):
         self.data_path = data_path
         self.entries = parse_list(os.path.join(data_path, list_file))
@@ -144,12 +154,19 @@ class KittiTrainDataset(SeekableLoaderMixin):
             )
         else:
             self._native = False
+        # H2D wire format (DataConfig.train_wire): "auto" ships uint8
+        # RGB + uint16 depth counts and the on-device pipeline decodes
+        # (data/augment.decode_wire_batch) — lossless on the PIL RGB
+        # path and for 16-bit-PNG depth; the native decoder's
+        # antialiased float RGB quantizes by <=1/510.
+        self._wire = wire == "auto"
+        self.wire_depth_scale = 256.0
 
     def __len__(self) -> int:
         return len(self.entries)
 
     def _load_pair(self, entry: Sequence[str]):
-        rgb = load_rgb(os.path.join(self.data_path, entry[0]), self.size)
+        rgb = load_rgb_u8(os.path.join(self.data_path, entry[0]), self.size)
         depth = load_depth(os.path.join(self.data_path, entry[1]), self.size)
         return rgb, depth
 
@@ -164,11 +181,22 @@ class KittiTrainDataset(SeekableLoaderMixin):
                 os.path.join(self.data_path, self.entries[i][1]) for i in idx
             ]
             rgb = native_io.decode_rgb_batch(rgb_paths, *self.size)
+            if self._wire:
+                rgb = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
             depth = native_io.decode_depth_batch(d_paths, *self.size)[..., None]
         else:
             rgbs, depths = zip(*(self._load_pair(self.entries[i]) for i in idx))
             rgb = np.stack(rgbs)
+            if not self._wire:
+                rgb = rgb.astype(np.float32) / 255.0
             depth = np.stack(depths)[..., None]
+        if self._wire:
+            # round(d*256) uint16 counts: the 16-bit-PNG sources' own
+            # values (exact); .npy float sources quantize by <=1/512 m.
+            depth16 = np.clip(
+                np.round(depth * 256.0), 0, 65535
+            ).astype(np.uint16)
+            return {"rgb": rgb, "depth": depth16}
         mask = ((depth > 0.0) & (depth < self.max_depth)).astype(np.float32)
         return {
             "rgb": rgb,

@@ -71,6 +71,7 @@ class NyuTrainDataset(SeekableLoaderMixin):
         seed: int = 0,
         max_depth: float = 10.0,
         loop: bool = True,
+        wire: str = "auto",
     ):
         self.data_path = data_path
         self.entries = parse_list(os.path.join(data_path, list_file))
@@ -83,33 +84,44 @@ class NyuTrainDataset(SeekableLoaderMixin):
         self.loop = loop
         self._seed = seed
         self._rng = np.random.default_rng(seed)
+        # uint8 RGB + uint16 mm-count depth wire (see kitti.py /
+        # DataConfig.train_wire); mm counts are the NYU png convention,
+        # so png-sourced depth rides losslessly (scale 1000).
+        self._wire = wire == "auto"
+        self.wire_depth_scale = 1000.0
 
     def __len__(self) -> int:
         return len(self.entries)
 
     def _make_batch(self, idx) -> Dict[str, np.ndarray]:
+        from gdn_tpu.data.kitti import load_rgb_u8
+
         rgbs, depths = [], []
         for i in idx:
             rgb_rel, d_rel = self.entries[i][:2]
-            rgb = load_rgb(os.path.join(self.data_path, rgb_rel))
+            rgb = load_rgb_u8(os.path.join(self.data_path, rgb_rel))
             rgb = center_crop_nyu(rgb)
             if rgb.shape[:2] != self.size:
-                img = Image.fromarray((rgb * 255).astype(np.uint8))
-                rgb = (
-                    np.asarray(
-                        img.resize((self.size[1], self.size[0]), Image.BILINEAR),
-                        dtype=np.float32,
-                    )
-                    / 255.0
+                rgb = np.asarray(
+                    Image.fromarray(rgb).resize(
+                        (self.size[1], self.size[0]), Image.BILINEAR
+                    ),
+                    dtype=np.uint8,
                 )
             rgbs.append(rgb)
             depths.append(
                 load_nyu_depth(os.path.join(self.data_path, d_rel), self.size)
             )
+        rgb = np.stack(rgbs)
         depth = np.stack(depths)[..., None]
+        if self._wire:
+            depth16 = np.clip(
+                np.round(depth * 1000.0), 0, 65535
+            ).astype(np.uint16)
+            return {"rgb": rgb, "depth": depth16}
         mask = ((depth > 0.0) & (depth < self.max_depth)).astype(np.float32)
         return {
-            "rgb": np.stack(rgbs),
+            "rgb": rgb.astype(np.float32) / 255.0,
             "depth": np.clip(depth, 0.0, self.max_depth),
             "mask": mask,
         }

@@ -19,9 +19,10 @@ import threading
 from typing import Any, Dict, Iterable, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 
 from gdn_tpu.config import Config
-from gdn_tpu.data.augment import augment_batch
+from gdn_tpu.data.augment import augment_batch, decode_wire_batch
 from gdn_tpu.parallel.mesh import shard_batch
 
 
@@ -104,7 +105,16 @@ def make_train_pipeline(
     key = jax.random.PRNGKey(cfg.train.seed if seed is None else seed)
     for _ in range(skip):
         key, _ = jax.random.split(key)
+    # Wire-format batches (uint8 RGB / uint16 depth counts,
+    # DataConfig.train_wire="auto") decode on device; the counts->meters
+    # scale is the loader's encoding (256 KITTI, 1000 NYU-mm).
+    depth_scale = float(getattr(loader, "wire_depth_scale", 256.0))
+    max_depth = float(cfg.model.max_depth)
     for batch in prefetch_to_device(loader, cfg.data.prefetch, mesh):
+        if batch["rgb"].dtype == jnp.uint8 or batch["depth"].dtype == jnp.uint16:
+            batch = decode_wire_batch(
+                batch, max_depth=max_depth, depth_scale=depth_scale
+            )
         if augment:
             key, sub = jax.random.split(key)
             batch = augment_batch(sub, batch, cfg.data)
@@ -153,6 +163,7 @@ def make_loader(cfg: Config, split: str = "train"):
             return KittiTrainDataset(
                 d.data_path, d.train_list, (h, w), d.batch_size,
                 seed=cfg.train.seed, max_depth=cfg.model.max_depth,
+                wire=d.train_wire,
             )
         return KittiEvalDataset(
             d.data_path, d.val_list, (h, w),
@@ -173,6 +184,7 @@ def make_loader(cfg: Config, split: str = "train"):
             return NyuTrainDataset(
                 d.data_path, d.train_list, (h, w), d.batch_size,
                 seed=cfg.train.seed, max_depth=cfg.model.max_depth,
+                wire=d.train_wire,
             )
         return NyuEvalDataset(d.data_path, d.val_list, (h, w))
     raise ValueError(f"unknown dataset {d.dataset!r}")

@@ -75,9 +75,12 @@ def main():
 
         h, w = cfg.model.image_size
         val_cls = NyuTrainDataset if args.dataset == "nyu" else KittiTrainDataset
+        # wire="f32": _validate consumes host batches directly (no
+        # device-side wire decode on the periodic validation path)
         val_iter = val_cls(
             cfg.data.data_path, args.val_pairs_list, (h, w),
             cfg.data.batch_size, max_depth=cfg.model.max_depth,
+            wire="f32",
         )
 
     if args.mode == "DtoD":

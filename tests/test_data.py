@@ -40,7 +40,7 @@ def kitti_fixture(tmp_path_factory):
 
 
 def test_kitti_train_loader(kitti_fixture):
-    ds = KittiTrainDataset(kitti_fixture, "train.txt", (128, 416), batch_size=3, loop=False)
+    ds = KittiTrainDataset(kitti_fixture, "train.txt", (128, 416), batch_size=3, loop=False, wire="f32")
     assert len(ds) == 6
     batches = list(ds)
     assert len(batches) == 2
@@ -60,7 +60,7 @@ def test_kitti_partial_batch_padded_when_not_looping(kitti_fixture):
     weak #7)."""
     ds = KittiTrainDataset(
         kitti_fixture, "train.txt", (128, 416), batch_size=4,
-        loop=False, shuffle=False,
+        loop=False, shuffle=False, wire="f32",
     )
     batches = list(ds)  # 6 samples -> one full batch + one padded (2 real)
     assert len(batches) == 2
@@ -73,7 +73,8 @@ def test_kitti_partial_batch_padded_when_not_looping(kitti_fixture):
     # loop=True training path still drops the remainder per shuffle
     it = iter(
         KittiTrainDataset(
-            kitti_fixture, "train.txt", (128, 416), batch_size=4, loop=True
+            kitti_fixture, "train.txt", (128, 416), batch_size=4, loop=True,
+            wire="f32",
         )
     )
     b1, b2 = next(it), next(it)
@@ -118,7 +119,7 @@ def test_nyu_loader(tmp_path):
         Image.fromarray(depth_mm).save(tmp_path / "d" / f"{i}_d.png")
         lines.append(f"d/{i}.png d/{i}_d.png")
     (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
-    ds = NyuTrainDataset(str(tmp_path), "train.txt", (228, 304), batch_size=2, loop=False)
+    ds = NyuTrainDataset(str(tmp_path), "train.txt", (228, 304), batch_size=2, loop=False, wire="f32")
     b = next(iter(ds))
     assert b["rgb"].shape == (2, 228, 304, 3)
     assert b["depth"].shape == (2, 228, 304, 1)
@@ -256,11 +257,11 @@ def test_native_io_matches_pil(kitti_fixture):
         pytest.skip("native IO library not built")
     ds_native = KittiTrainDataset(
         kitti_fixture, "train.txt", (128, 416), batch_size=6,
-        shuffle=False, loop=False, use_native=True,
+        shuffle=False, loop=False, use_native=True, wire="f32",
     )
     ds_pil = KittiTrainDataset(
         kitti_fixture, "train.txt", (128, 416), batch_size=6,
-        shuffle=False, loop=False, use_native=False,
+        shuffle=False, loop=False, use_native=False, wire="f32",
     )
     assert ds_native._native and not ds_pil._native
     bn = next(iter(ds_native))
@@ -477,7 +478,8 @@ def test_grain_loader_matches_native_decode(kitti_fixture):
     g = GrainKittiDataset(kitti_fixture, "train.txt", (128, 416),
                           batch_size=3, shuffle=False)
     n = KittiTrainDataset(kitti_fixture, "train.txt", (128, 416),
-                          batch_size=3, shuffle=False, use_native=False)
+                          batch_size=3, shuffle=False, use_native=False,
+                          wire="f32")
     bg, bn = next(iter(g)), next(iter(n))
     for k in ("rgb", "depth", "mask"):
         np.testing.assert_array_equal(bg[k], bn[k], err_msg=k)
@@ -583,10 +585,111 @@ def test_grain_loader_nyu_matches_native(tmp_path):
                           batch_size=2, shuffle=False, max_depth=10.0,
                           dataset="nyu")
     n = NyuTrainDataset(str(tmp_path), "train.txt", (228, 304),
-                        batch_size=2, shuffle=False, max_depth=10.0)
+                        batch_size=2, shuffle=False, max_depth=10.0,
+                        wire="f32")
     bg, bn = next(iter(g)), next(iter(n))
     for k in ("rgb", "depth", "mask"):
         np.testing.assert_array_equal(bg[k], bn[k], err_msg=k)
+
+
+def test_kitti_wire_batch_decodes_to_f32_contract(kitti_fixture):
+    """train_wire="auto" (uint8 RGB + uint16 depth counts, decoded on
+    device by augment.decode_wire_batch) must reproduce the f32-wire
+    batch on the PIL path with PNG-sourced depth: counts/256 is the
+    exact load_depth value (power-of-two scale) so depth and the
+    device-derived mask are bit-equal; rgb matches to 1 ulp (XLA
+    rewrites /255 as a reciprocal multiply, ~6e-8 measured)."""
+    from gdn_tpu.data.augment import decode_wire_batch
+
+    mk = lambda wire: KittiTrainDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=3,
+        shuffle=False, loop=False, use_native=False, wire=wire,
+    )
+    bw = next(iter(mk("auto")))
+    bf = next(iter(mk("f32")))
+    assert bw["rgb"].dtype == np.uint8
+    assert bw["depth"].dtype == np.uint16
+    assert "mask" not in bw
+    dec = decode_wire_batch(bw, max_depth=80.0, depth_scale=256.0)
+    np.testing.assert_allclose(np.asarray(dec["rgb"]), bf["rgb"], atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(dec["depth"]), bf["depth"])
+    np.testing.assert_array_equal(np.asarray(dec["mask"]), bf["mask"])
+
+
+def test_wire_partial_batch_padding_masked(kitti_fixture):
+    """loop=False wire batches mark padded rows by zeroing the depth
+    counts; the device-derived mask must zero them out exactly like the
+    f32 path's host-zeroed mask."""
+    from gdn_tpu.data.augment import decode_wire_batch
+
+    ds = KittiTrainDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=4,
+        loop=False, shuffle=False, use_native=False, wire="auto",
+    )
+    last = list(ds)[-1]  # 6 samples -> [4, padded(2 real)]
+    assert np.all(last["depth"][2:] == 0)
+    dec = decode_wire_batch(last, max_depth=80.0, depth_scale=256.0)
+    assert np.all(np.asarray(dec["mask"])[2:] == 0.0)
+    assert np.any(np.asarray(dec["mask"])[:2] > 0.0)
+
+
+def test_nyu_wire_batch_decodes_to_f32_contract(tmp_path):
+    """NYU wire: mm counts ride exactly for mm-PNG sources; the /1000
+    decode and /255 rgb match the host to 1 ulp (non-power-of-two
+    scales rewrite as reciprocal multiplies), mask bit-equal."""
+    from gdn_tpu.data.augment import decode_wire_batch
+    from gdn_tpu.data.nyu import NyuTrainDataset
+
+    rng = np.random.default_rng(2)
+    lines = []
+    for i in range(2):
+        rgb = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        Image.fromarray(rgb).save(tmp_path / f"{i}.png")
+        dmm = (rng.uniform(0, 12, (480, 640)) * 1000).astype(np.uint16)
+        Image.fromarray(dmm).save(tmp_path / f"{i}_d.png")
+        lines.append(f"{i}.png {i}_d.png")
+    (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
+    mk = lambda wire: NyuTrainDataset(
+        str(tmp_path), "train.txt", (228, 304), batch_size=2,
+        shuffle=False, loop=False, max_depth=10.0, wire=wire,
+    )
+    bw = next(iter(mk("auto")))
+    bf = next(iter(mk("f32")))
+    dec = decode_wire_batch(bw, max_depth=10.0, depth_scale=1000.0)
+    np.testing.assert_allclose(np.asarray(dec["rgb"]), bf["rgb"], atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(dec["depth"]), bf["depth"], atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(dec["mask"]), bf["mask"])
+
+
+def test_train_pipeline_wire_matches_f32(kitti_fixture):
+    """End-to-end: make_train_pipeline over a wire-format loader must
+    deliver the same augmented device batches as over an f32 loader
+    (same augmentation seed): depth/mask bit-equal (exact counts ->
+    identical warp inputs), rgb to ~1 ulp amplified through the warp
+    matmuls."""
+    mk = lambda wire: KittiTrainDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=2,
+        shuffle=False, loop=False, use_native=False, wire=wire,
+    )
+    cfg = Config(
+        model=ModelConfig(image_size=(128, 416)),
+        data=DataConfig(dataset="kitti", batch_size=2),
+        train=TrainConfig(seed=3),
+    )
+    pw = make_train_pipeline(cfg, mk("auto"), augment=True)
+    pf = make_train_pipeline(cfg, mk("f32"), augment=True)
+    for bw, bf in zip(pw, pf):
+        np.testing.assert_allclose(
+            np.asarray(bw["rgb"]), np.asarray(bf["rgb"]), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(bw["depth"]), np.asarray(bf["depth"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(bw["mask"]), np.asarray(bf["mask"])
+        )
 
 
 def test_make_loader_passes_train_seed(kitti_fixture):
