@@ -113,6 +113,12 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                         "XLA fallback runs true HIGH")
     p.add_argument("--num_devices", type=int, default=0,
                    help="mesh size (0 = all devices)")
+    p.add_argument("--spatial_devices", type=int, default=1,
+                   help="spatial-partitioning mesh axis: shard the image "
+                        "HEIGHT across this many devices (XLA SPMD "
+                        "inserts the conv halo exchanges); must divide "
+                        "the device count; composes with data "
+                        "parallelism (mesh = data x spatial)")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint of this stage")
@@ -235,6 +241,7 @@ def build_config(args: argparse.Namespace) -> Config:
             "train.freeze_decoder": not args.no_freeze_decoder,
             "train.log_every": args.log_every,
             "mesh.num_devices": args.num_devices,
+            "mesh.spatial_devices": args.spatial_devices,
         })
         if args.ssim_precision is not None:
             over["loss.ssim_precision"] = args.ssim_precision

@@ -361,12 +361,21 @@ class EvalConfig:
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Data-parallel mesh (SURVEY.md §2.10/§2.11): 1-D mesh over chips,
-    batch sharded on axis "data", params replicated, gradients psum'd
-    over ICI by XLA."""
+    """Device mesh (SURVEY.md §2.10/§2.11): batch sharded on axis
+    "data", params replicated, gradients psum'd over ICI by XLA.
+
+    ``spatial_devices > 1`` adds a second mesh axis "spatial" that
+    shards the image HEIGHT dim of every batch leaf — XLA's SPMD
+    partitioner inserts the conv halo exchanges and the GN/loss
+    statistic all-reduces (parallel/mesh.py).  Use it to train
+    resolutions whose activations exceed one chip's HBM even at
+    batch 1; it composes with data parallelism (device count =
+    data x spatial).  The Pallas loss kernel has no SPMD rule, so
+    spatial steps route through the jnp loss path automatically."""
 
     data_axis: str = "data"
     num_devices: int = 0  # 0 = all available
+    spatial_devices: int = 1  # 1 = pure data-parallel (no spatial axis)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -191,7 +191,7 @@ def train_stage1(
     """
     h, w = cfg.model.image_size
     if mesh is None:
-        mesh = create_mesh(cfg.mesh.num_devices) if use_mesh else None
+        mesh = create_mesh(cfg.mesh.num_devices, spatial=cfg.mesh.spatial_devices) if use_mesh else None
     model = DtoDNet(cfg=cfg.model)
     if state is None:
         state = create_state(
@@ -264,7 +264,7 @@ def train_stage2(
     command."""
     h, w = cfg.model.image_size
     if mesh is None:
-        mesh = create_mesh(cfg.mesh.num_devices) if use_mesh else None
+        mesh = create_mesh(cfg.mesh.num_devices, spatial=cfg.mesh.spatial_devices) if use_mesh else None
     model = RtoDNet(cfg=cfg.model)
     if state is None:
         state = create_state(

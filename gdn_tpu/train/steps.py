@@ -14,6 +14,7 @@ Batches are dicts:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -23,10 +24,25 @@ from jax.sharding import Mesh
 
 from gdn_tpu.config import Config
 from gdn_tpu.losses import total_loss
-from gdn_tpu.parallel.mesh import batch_sharding, replicated
+from gdn_tpu.parallel.mesh import (
+    batch_sharding, replicated, spatial_size, stacked_batch_sharding,
+)
 from gdn_tpu.train.state import TrainState
 
 Batch = Dict[str, jnp.ndarray]
+
+
+def _spatial_safe_cfg(cfg: Config, mesh: Optional[Mesh]) -> Config:
+    """On a spatial mesh, route the loss through the jnp path: a Pallas
+    custom call has no SPMD partitioning rule, so under height-sharded
+    inputs XLA would have to all-gather around it — the jnp SSIM/grad
+    losses partition natively (the blur convs get halo exchanges, the
+    reductions become psums)."""
+    if spatial_size(mesh) > 1 and cfg.loss.use_pallas:
+        return dataclasses.replace(
+            cfg, loss=dataclasses.replace(cfg.loss, use_pallas=False)
+        )
+    return cfg
 
 
 def _apply_update(state: TrainState, grads, cfg: Config) -> TrainState:
@@ -188,7 +204,9 @@ def make_stage1_step(
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted stage-1 (D-net) train step.
 
-    With a mesh: donated replicated state, batch sharded on "data"."""
+    With a mesh: donated replicated state, batch sharded on "data"
+    (and H on "spatial" for 2-D meshes)."""
+    cfg = _spatial_safe_cfg(cfg, mesh)
 
     def step(state: TrainState, batch: Batch):
         grad_fn = jax.value_and_grad(_stage1_loss, has_aux=True)
@@ -213,6 +231,7 @@ def make_stage2_step(
     """
     from gdn_tpu.models import DtoDNet
 
+    cfg = _spatial_safe_cfg(cfg, mesh)
     d_apply = DtoDNet(cfg=cfg.model).apply
     if cfg.train.fused_encoders:
         assert cfg.train.fused_guidance, (
@@ -260,6 +279,7 @@ def make_stage1_multistep(
 
     Signature: step(state, batches) with batches stacked {k: (S,B,...)}.
     """
+    cfg = _spatial_safe_cfg(cfg, mesh)
 
     def step(state: TrainState, batches: Batch):
         s = jax.tree.leaves(batches)[0].shape[0]
@@ -295,6 +315,7 @@ def make_stage2_multistep(
     """
     from gdn_tpu.models import DtoDNet
 
+    cfg = _spatial_safe_cfg(cfg, mesh)
     d_apply = DtoDNet(cfg=cfg.model).apply
     if cfg.train.fused_encoders:
         assert cfg.train.fused_guidance, "fused_encoders requires fused_guidance"
@@ -331,10 +352,9 @@ def _jit_multistep(step, mesh: Optional[Mesh], n_extra: int):
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
     rep = replicated(mesh)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    # batches: leading scan axis replicated, batch axis sharded
-    data = NamedSharding(mesh, P(None, "data"))
+    # batches: leading scan axis replicated, batch axis sharded (and H
+    # on "spatial" for 2-D meshes)
+    data = stacked_batch_sharding(mesh)
     return jax.jit(
         step,
         in_shardings=(rep, *([rep] * n_extra), data),

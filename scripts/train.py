@@ -44,7 +44,7 @@ def main():
     # One mesh for pipeline + trainer: prefetch device_puts each batch
     # sharded over all chips exactly once (no device-0 funnel), and the
     # jitted augmentation then runs sharded too.
-    mesh = create_mesh(cfg.mesh.num_devices)
+    mesh = create_mesh(cfg.mesh.num_devices, spatial=cfg.mesh.spatial_devices)
     loader = make_loader(cfg, "train")
     augment = cfg.data.dataset != "synthetic"
 

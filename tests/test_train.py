@@ -145,6 +145,73 @@ def test_data_parallel_stage1_matches_single_device(d_state):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
 
 
+def test_spatial_partition_batch_placement():
+    """A 2-D (data, spatial) mesh shards batch dim 0 on "data" and the
+    image height (dim 1) on "spatial"."""
+    from jax.sharding import PartitionSpec as P
+    from gdn_tpu.parallel.mesh import create_mesh, shard_batch, spatial_size
+
+    mesh = create_mesh(8, spatial=4)
+    assert dict(mesh.shape) == {"data": 2, "spatial": 4}
+    assert spatial_size(mesh) == 4
+    batch = _batch(b=4)
+    sharded = shard_batch(batch, mesh)
+    for v in sharded.values():
+        assert v.sharding.spec == P("data", "spatial")
+        shard_shape = v.sharding.shard_shape(v.shape)
+        assert shard_shape[0] == v.shape[0] // 2
+        assert shard_shape[1] == v.shape[1] // 4
+
+
+def test_spatial_partition_stage1_matches_single_device(d_state):
+    """Height-sharded (SP) train step == single-device step: XLA SPMD's
+    halo exchanges + stat psums must not change the math (SURVEY §2.10
+    SP row; parallel/mesh.py spatial axis)."""
+    from gdn_tpu.parallel.mesh import create_mesh, shard_batch
+
+    mesh = create_mesh(8, spatial=4)  # (data=2, spatial=4)
+    batch = _batch(2)
+    step_single = make_stage1_step(TINY, mesh=None)
+    step_mesh = make_stage1_step(TINY, mesh=mesh)
+
+    state_a = jax.tree.map(jnp.copy, d_state)
+    state_b = jax.tree.map(jnp.copy, d_state)
+    s1, t1 = step_single(state_a, batch)
+    s8, t8 = step_mesh(state_b, shard_batch(batch, mesh))
+    assert float(t1["total"]) == pytest.approx(float(t8["total"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        # same tolerance rationale as the data-parallel test above
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
+
+
+def test_spatial_partition_stage2_matches_single_device(d_state):
+    """Stage-2 guided step under (data=2, spatial=4): both nets, the
+    guidance forward, and the jnp loss path (the Pallas kernel is
+    bypassed on spatial meshes by _spatial_safe_cfg) partition cleanly."""
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+    from gdn_tpu.parallel.mesh import create_mesh, shard_batch
+
+    mesh = create_mesh(8, spatial=4)
+    g_state = create_state(
+        RtoDNet(cfg=TINY.model), (1, 32, 64, 3), TINY.train, 10,
+        freeze_decoder=True,
+    )
+    g_state = g_state.replace(
+        params=transfer_stage1_decoder(g_state.params, d_state.params)
+    )
+    batch = _batch(3)
+    step_single = make_stage2_step(TINY, mesh=None)
+    step_mesh = make_stage2_step(TINY, mesh=mesh)
+
+    state_a = jax.tree.map(jnp.copy, g_state)
+    state_b = jax.tree.map(jnp.copy, g_state)
+    s1, t1 = step_single(state_a, d_state.params, batch)
+    s8, t8 = step_mesh(state_b, d_state.params, shard_batch(batch, mesh))
+    assert float(t1["total"]) == pytest.approx(float(t8["total"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
+
+
 def test_synthetic_dataset_shapes():
     it = iter(SyntheticDataset(batch_size=4, height=32, width=64))
     b = next(it)
