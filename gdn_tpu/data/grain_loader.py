@@ -28,31 +28,41 @@ import numpy as np
 
 class _PairSource:
     """grain RandomAccessDataSource over '<rgb> <depth>' list entries;
-    decodes one UNBATCHED sample per index (grain batches downstream)."""
+    decodes one UNBATCHED sample per index (grain batches downstream).
+
+    ``wire=True`` (DataConfig.train_wire="auto"): samples ride as uint8
+    RGB + uint16 depth counts (counts = round(depth * wire_scale)) and
+    the device pipeline decodes — same contract as the native loaders
+    (data/kitti.py)."""
+
+    wire_scale = 256.0  # KITTI 16-bit-PNG counts-per-meter
 
     def __init__(self, data_path: str, entries, size: Tuple[int, int],
-                 max_depth: float):
+                 max_depth: float, wire: bool = False):
         self.data_path = data_path
         self.entries = entries
         self.size = size
         self.max_depth = max_depth
+        self.wire = wire
 
     def __repr__(self) -> str:
         # Stable across instances: grain validates repr(data_source) on
         # set_state, and the default repr embeds the object address.
         return (
             f"_PairSource(path={self.data_path!r}, n={len(self.entries)}, "
-            f"size={tuple(self.size)}, max_depth={self.max_depth})"
+            f"size={tuple(self.size)}, max_depth={self.max_depth}, "
+            f"wire={self.wire})"
         )
 
     def __len__(self) -> int:
         return len(self.entries)
 
     def _decode(self, rgb_path: str, d_path: str):
-        from gdn_tpu.data.kitti import load_depth, load_rgb
+        """-> (uint8 rgb, float depth in meters); the uint8 RGB is the
+        exact PIL wire form (load_rgb == this array / 255)."""
+        from gdn_tpu.data.kitti import load_depth, load_rgb_u8
 
-        rgb = load_rgb(rgb_path, self.size)
-        return rgb, load_depth(d_path, self.size)
+        return load_rgb_u8(rgb_path, self.size), load_depth(d_path, self.size)
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         rgb_rel, d_rel = self.entries[i]
@@ -61,9 +71,14 @@ class _PairSource:
             os.path.join(self.data_path, d_rel),
         )
         depth = depth[..., None]
+        if self.wire:
+            d16 = np.clip(
+                np.round(depth * self.wire_scale), 0, 65535
+            ).astype(np.uint16)
+            return {"rgb": rgb, "depth": d16}
         mask = ((depth > 0.0) & (depth < self.max_depth)).astype(np.float32)
         return {
-            "rgb": rgb,
+            "rgb": rgb.astype(np.float32) / 255.0,
             "depth": np.clip(depth, 0.0, self.max_depth).astype(np.float32),
             "mask": mask,
         }
@@ -73,23 +88,25 @@ class _NyuPairSource(_PairSource):
     """NYU decode semantics (data/nyu.py): center-crop the white border
     before resizing; depth png is millimeters."""
 
+    wire_scale = 1000.0  # NYU mm-PNG counts-per-meter
+
     def __repr__(self) -> str:
         return "Nyu" + super().__repr__()
 
     def _decode(self, rgb_path: str, d_path: str):
-        from gdn_tpu.data.kitti import load_rgb
+        from gdn_tpu.data.kitti import load_rgb_u8
         from gdn_tpu.data.nyu import center_crop_nyu, load_nyu_depth
 
-        rgb = load_rgb(rgb_path)
-        rgb = center_crop_nyu(rgb)
+        rgb = center_crop_nyu(load_rgb_u8(rgb_path))
         if rgb.shape[:2] != tuple(self.size):
             from PIL import Image
 
-            img = Image.fromarray((rgb * 255).astype(np.uint8))
             rgb = np.asarray(
-                img.resize((self.size[1], self.size[0]), Image.BILINEAR),
-                dtype=np.float32,
-            ) / 255.0
+                Image.fromarray(rgb).resize(
+                    (self.size[1], self.size[0]), Image.BILINEAR
+                ),
+                dtype=np.uint8,
+            )
         return rgb, load_nyu_depth(d_path, self.size)
 
 
@@ -116,6 +133,7 @@ class GrainKittiDataset:
         num_epochs: Optional[int] = None,
         worker_count: int = 0,
         dataset: str = "kitti",
+        wire: str = "auto",
     ):
         import grain.python as pg
 
@@ -131,7 +149,11 @@ class GrainKittiDataset:
                 )
         self.batch_size = batch_size
         src_cls = _NyuPairSource if dataset == "nyu" else _PairSource
-        self._source = src_cls(data_path, entries, size, max_depth)
+        self._source = src_cls(
+            data_path, entries, size, max_depth, wire=wire == "auto"
+        )
+        # make_train_pipeline's device-side decode scale (see kitti.py)
+        self.wire_depth_scale = src_cls.wire_scale
         self._loader = pg.DataLoader(
             data_source=self._source,
             sampler=pg.IndexSampler(

@@ -158,7 +158,7 @@ def make_loader(cfg: Config, split: str = "train"):
                 return GrainKittiDataset(
                     d.data_path, d.train_list, (h, w), d.batch_size,
                     seed=cfg.train.seed, max_depth=cfg.model.max_depth,
-                    worker_count=0,
+                    worker_count=0, wire=d.train_wire,
                 )
             return KittiTrainDataset(
                 d.data_path, d.train_list, (h, w), d.batch_size,
@@ -179,7 +179,7 @@ def make_loader(cfg: Config, split: str = "train"):
                 return GrainKittiDataset(
                     d.data_path, d.train_list, (h, w), d.batch_size,
                     seed=cfg.train.seed, max_depth=cfg.model.max_depth,
-                    worker_count=0, dataset="nyu",
+                    worker_count=0, dataset="nyu", wire=d.train_wire,
                 )
             return NyuTrainDataset(
                 d.data_path, d.train_list, (h, w), d.batch_size,

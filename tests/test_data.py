@@ -457,7 +457,8 @@ def test_grain_loader_batches_and_determinism(kitti_fixture):
     from gdn_tpu.data.grain_loader import GrainKittiDataset
 
     mk = lambda: GrainKittiDataset(
-        kitti_fixture, "train.txt", (128, 416), batch_size=2, seed=7
+        kitti_fixture, "train.txt", (128, 416), batch_size=2, seed=7,
+        wire="f32",
     )
     a, b = mk(), mk()
     ita, itb = iter(a), iter(b)
@@ -476,7 +477,7 @@ def test_grain_loader_matches_native_decode(kitti_fixture):
     from gdn_tpu.data.grain_loader import GrainKittiDataset
 
     g = GrainKittiDataset(kitti_fixture, "train.txt", (128, 416),
-                          batch_size=3, shuffle=False)
+                          batch_size=3, shuffle=False, wire="f32")
     n = KittiTrainDataset(kitti_fixture, "train.txt", (128, 416),
                           batch_size=3, shuffle=False, use_native=False,
                           wire="f32")
@@ -484,12 +485,26 @@ def test_grain_loader_matches_native_decode(kitti_fixture):
     for k in ("rgb", "depth", "mask"):
         np.testing.assert_array_equal(bg[k], bn[k], err_msg=k)
 
+    # and the wire form (default) matches the native loader's wire form
+    gw = GrainKittiDataset(kitti_fixture, "train.txt", (128, 416),
+                           batch_size=3, shuffle=False)
+    nw = KittiTrainDataset(kitti_fixture, "train.txt", (128, 416),
+                           batch_size=3, shuffle=False, use_native=False,
+                           wire="auto")
+    assert gw.wire_depth_scale == 256.0
+    bgw, bnw = next(iter(gw)), next(iter(nw))
+    assert set(bgw) == {"rgb", "depth"}
+    assert bgw["rgb"].dtype == np.uint8 and bgw["depth"].dtype == np.uint16
+    for k in ("rgb", "depth"):
+        np.testing.assert_array_equal(bgw[k], bnw[k], err_msg=k)
+
 
 def test_grain_loader_seek_and_state_roundtrip(kitti_fixture):
     from gdn_tpu.data.grain_loader import GrainKittiDataset
 
     mk = lambda: GrainKittiDataset(
-        kitti_fixture, "train.txt", (128, 416), batch_size=2, seed=7
+        kitti_fixture, "train.txt", (128, 416), batch_size=2, seed=7,
+        wire="f32",
     )
     ref_it = iter(mk())
     reference = [next(ref_it) for _ in range(5)]
@@ -583,13 +598,26 @@ def test_grain_loader_nyu_matches_native(tmp_path):
 
     g = GrainKittiDataset(str(tmp_path), "train.txt", (228, 304),
                           batch_size=2, shuffle=False, max_depth=10.0,
-                          dataset="nyu")
+                          dataset="nyu", wire="f32")
     n = NyuTrainDataset(str(tmp_path), "train.txt", (228, 304),
                         batch_size=2, shuffle=False, max_depth=10.0,
                         wire="f32")
     bg, bn = next(iter(g)), next(iter(n))
     for k in ("rgb", "depth", "mask"):
         np.testing.assert_array_equal(bg[k], bn[k], err_msg=k)
+
+    # wire form: mm counts + uint8 rgb, matching the native NYU loader
+    gw = GrainKittiDataset(str(tmp_path), "train.txt", (228, 304),
+                           batch_size=2, shuffle=False, max_depth=10.0,
+                           dataset="nyu")
+    nw = NyuTrainDataset(str(tmp_path), "train.txt", (228, 304),
+                         batch_size=2, shuffle=False, max_depth=10.0,
+                         wire="auto")
+    assert gw.wire_depth_scale == 1000.0
+    bgw, bnw = next(iter(gw)), next(iter(nw))
+    assert bgw["rgb"].dtype == np.uint8 and bgw["depth"].dtype == np.uint16
+    for k in ("rgb", "depth"):
+        np.testing.assert_array_equal(bgw[k], bnw[k], err_msg=k)
 
 
 def test_kitti_wire_batch_decodes_to_f32_contract(kitti_fixture):

@@ -184,6 +184,21 @@ def test_spatial_partition_stage1_matches_single_device(d_state):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
 
 
+def test_spatial_safe_cfg_disables_pallas_loss():
+    """Spatial meshes must route the loss through the jnp path (a
+    Pallas custom call has no SPMD partitioning rule); 1-D meshes keep
+    the config untouched."""
+    from gdn_tpu.parallel.mesh import create_mesh
+    from gdn_tpu.train.steps import _spatial_safe_cfg
+
+    assert TINY.loss.use_pallas
+    out = _spatial_safe_cfg(TINY, create_mesh(8, spatial=2))
+    assert not out.loss.use_pallas
+    assert out.model == TINY.model and out.train == TINY.train
+    assert _spatial_safe_cfg(TINY, create_mesh(8)) is TINY
+    assert _spatial_safe_cfg(TINY, None) is TINY
+
+
 def test_spatial_partition_stage2_matches_single_device(d_state):
     """Stage-2 guided step under (data=2, spatial=4): both nets, the
     guidance forward, and the jnp loss path (the Pallas kernel is
