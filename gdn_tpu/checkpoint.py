@@ -56,6 +56,7 @@ def save_checkpoint(
     state: Any,
     keep: int = 3,
     use_async: bool = False,
+    cfg: Any = None,
 ) -> None:
     """Save {params, opt_state, step} at `step`.
 
@@ -63,7 +64,16 @@ def save_checkpoint(
     async checkpointing — the SURVEY.md §5 checkpoint/resume row);
     call :func:`wait_for_checkpoints` before reading the files back or
     exiting the process.
+
+    ``cfg``: the run's Config — persisted as ``<ckpt_dir>/config.json``
+    so checkpoints are self-describing: eval/demo/serve/export rebuild
+    the exact architecture (upsample style, channel widths, norm, ...)
+    from the checkpoint instead of requiring the user to remember the
+    training flags (a silent shape error otherwise — e.g. a pre-round-3
+    resize_conv checkpoint after the deconv default flip).
     """
+    if cfg is not None:
+        save_config(ckpt_dir, cfg)
     mgr = _manager(ckpt_dir, keep, use_async)
     payload = {
         "params": state.params,
@@ -79,10 +89,86 @@ def save_checkpoint(
 
 
 def wait_for_checkpoints(ckpt_dir: str) -> None:
-    """Block until async saves for `ckpt_dir` are durable."""
-    for (path, _, _), mgr in list(_MANAGERS.items()):
-        if path == os.path.abspath(ckpt_dir):
+    """Block until async saves under `ckpt_dir` are durable.
+
+    Prefix-matched: one call on a run's root checkpoint dir flushes
+    every stage subtree it saved into (stage1/, stage2/, stage2_best/)
+    — the wait-on-exit barrier the training loops use."""
+    target = os.path.abspath(ckpt_dir)
+    for (path, _, _, _), mgr in list(_MANAGERS.items()):
+        if path == target or path.startswith(target + os.sep):
             mgr.wait_until_finished()
+
+
+def save_config(ckpt_dir: str, cfg: Any) -> None:
+    """Write the run Config as ``<ckpt_dir>/config.json`` (one per
+    directory — every step in a dir comes from the same architecture).
+    Written atomically (tmp + rename) so a preemption mid-write can't
+    leave a truncated file next to valid checkpoints."""
+    import dataclasses
+    import json
+    import tempfile
+
+    path = os.path.join(os.path.abspath(ckpt_dir), "config.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = dataclasses.asdict(cfg)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def load_config(ckpt_dir: str):
+    """Load the Config saved next to a checkpoint; None if the dir
+    predates self-describing checkpoints (pre-round-4)."""
+    import json
+
+    path = os.path.join(os.path.abspath(ckpt_dir), "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        payload = json.load(f)
+    return config_from_dict(payload)
+
+
+def config_from_dict(payload: Dict[str, Any]):
+    """Rebuild a Config tree from ``dataclasses.asdict`` output.
+
+    JSON round-trips tuples as lists; Tuple-typed fields (image_size,
+    enc/dec_channels, scale_range) are re-tupled.  Unknown keys (from a
+    NEWER framework version) are dropped with a warning rather than
+    crashing — old code evaluating a new checkpoint should degrade
+    loudly, not die on an unrelated knob."""
+    import dataclasses
+
+    from gdn_tpu import config as config_mod
+
+    def build(dc_type, d):
+        fields = {f.name: f for f in dataclasses.fields(dc_type)}
+        kwargs = {}
+        for k, v in d.items():
+            if k not in fields:
+                print(f"[checkpoint] config.json key {k!r} unknown to "
+                      f"this version of {dc_type.__name__}; ignored",
+                      flush=True)
+                continue
+            f = fields[k]
+            if dataclasses.is_dataclass(f.type) or (
+                isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
+            ):
+                kwargs[k] = build(f.type, v)
+            elif isinstance(v, dict):
+                # nested dataclass referenced by name (from __future__
+                # annotations the field type is a string)
+                sub = getattr(config_mod, str(f.type).split(".")[-1], None)
+                kwargs[k] = build(sub, v) if sub is not None else v
+            elif isinstance(v, list):
+                kwargs[k] = tuple(v)
+            else:
+                kwargs[k] = v
+        return dc_type(**kwargs)
+
+    return build(config_mod.Config, payload)
 
 
 def restore_checkpoint(

@@ -189,6 +189,67 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
                         "params")
 
 
+def apply_saved_model_config(cfg: Config, args: argparse.Namespace,
+                             ckpt_dir: str) -> Config:
+    """Self-describing checkpoints: adopt the ModelConfig persisted next
+    to `ckpt_dir` (checkpoint.save_config) so eval/demo/serve/export
+    rebuild the trained architecture without the user re-passing the
+    training flags.  Explicit CLI flags still win — with a loud warning
+    when they contradict what the checkpoint was trained with (the
+    likely outcome is a parameter-shape restore error).
+
+    Checkpoints from before round 4 have no config.json; they load
+    exactly as before (CLI flags/defaults describe the model).
+    """
+    import dataclasses
+
+    from gdn_tpu import checkpoint as ckpt
+
+    saved = ckpt.load_config(ckpt_dir)
+    if saved is None:
+        return cfg
+    model = saved.model
+    # Re-apply explicit CLI architecture overrides on top of the saved
+    # config (None/False defaults mean "not given").
+    overrides = {}
+    if getattr(args, "height", None) or getattr(args, "width", None):
+        overrides["image_size"] = (
+            args.height or model.image_size[0],
+            args.width or model.image_size[1],
+        )
+    if getattr(args, "max_depth", None):
+        overrides["max_depth"] = args.max_depth
+    for flag, field in (("upsample", "upsample"),
+                        ("deconv_init", "deconv_init"),
+                        ("norm", "norm")):
+        v = getattr(args, flag, None)
+        if v is not None:
+            overrides[field] = v
+    if getattr(args, "multiscale", False):
+        overrides["multiscale_heads"] = True
+    if getattr(args, "no_pallas", False):
+        overrides["use_pallas"] = False
+    for field, v in overrides.items():
+        if getattr(model, field) != v:
+            print(
+                f"[config] WARNING: checkpoint {ckpt_dir} was trained "
+                f"with model.{field}={getattr(model, field)!r} but the "
+                f"CLI requests {v!r} — honoring the CLI; expect a "
+                f"parameter-shape mismatch unless this is intentional",
+                flush=True,
+            )
+    model = dataclasses.replace(model, **overrides)
+    if model != cfg.model:
+        diffs = [
+            f.name for f in dataclasses.fields(model)
+            if getattr(model, f.name) != getattr(cfg.model, f.name)
+        ]
+        print(f"[config] adopted model config from {ckpt_dir}/config.json "
+              f"(differs from CLI defaults in: {', '.join(diffs)})",
+              flush=True)
+    return dataclasses.replace(cfg, model=model)
+
+
 def build_config(args: argparse.Namespace) -> Config:
     cfg = nyu_config() if args.dataset == "nyu" else kitti_config()
     over = {

@@ -324,6 +324,13 @@ class TrainConfig:
     log_every: int = 50
     ckpt_dir: str = "checkpoints"
     keep_ckpts: int = 3
+    # Async (overlapped) orbax checkpointing: the per-epoch save returns
+    # as soon as the payload is snapshotted and the serialization/write
+    # runs in a background thread while the next epoch trains (SURVEY §5
+    # checkpoint/resume row: "orbax async ckpt + resume").  The training
+    # loops place a wait_for_checkpoints barrier on exit AND on the
+    # preemption path, so every save is durable before the process ends.
+    async_ckpt: bool = True
     # Steps per epoch when the dataset is synthetic/unbounded.
     steps_per_epoch: int = 1000
     # Optimizer steps fused into ONE jitted call (lax.scan over stacked

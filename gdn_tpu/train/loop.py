@@ -225,6 +225,7 @@ def train_stage1(
                 ckpt.save_checkpoint(
                     f"{cfg.train.ckpt_dir}/stage1", int(state.step), state,
                     cfg.train.keep_ckpts,
+                    use_async=cfg.train.async_ckpt, cfg=cfg,
                 )
             if preempt.requested:
                 print(
@@ -235,6 +236,11 @@ def train_stage1(
                 break
     finally:
         preempt.uninstall()
+        if cfg.train.ckpt_dir:
+            # durability barrier: async saves must land before the
+            # process can exit (incl. the preemption path — the ckpt
+            # the SIGTERM handler promised must be on disk).
+            ckpt.wait_for_checkpoints(cfg.train.ckpt_dir)
     return state
 
 
@@ -326,6 +332,7 @@ def train_stage2(
                     ckpt.save_checkpoint(
                         f"{cfg.train.ckpt_dir}/stage2_best",
                         int(state.step), state, keep=1,
+                        use_async=cfg.train.async_ckpt, cfg=cfg,
                     )
                     logger.log(step=int(state.step),
                                best_rmse=float(best_rmse))
@@ -333,6 +340,7 @@ def train_stage2(
                 ckpt.save_checkpoint(
                     f"{cfg.train.ckpt_dir}/stage2", int(state.step), state,
                     cfg.train.keep_ckpts,
+                    use_async=cfg.train.async_ckpt, cfg=cfg,
                 )
             if preempt.requested:
                 print(
@@ -343,4 +351,7 @@ def train_stage2(
                 break
     finally:
         preempt.uninstall()
+        if cfg.train.ckpt_dir:
+            # durability barrier for async saves (see train_stage1).
+            ckpt.wait_for_checkpoints(cfg.train.ckpt_dir)
     return state

@@ -92,8 +92,10 @@ def main():
                                        cfg.model.max_depth)
         m = evaluate(cfg, g_state.params, make_eval_forward(cfg), eval_ds,
                      verbose=False)
-        results[seed] = {k: round(float(v), 4) for k, v in m.items()
-                         if k in ("abs_rel", "rmse", "a1")}
+        # Full 8-metric table per seed: the convergence contract is
+        # "accuracy within 1%" on ALL protocol metrics, not a1 alone
+        # (VERDICT r3 missing item 1).
+        results[seed] = {k: round(float(v), 4) for k, v in m.items()}
         print(json.dumps({"seed": seed,
                           "mins": round((time.time() - t0) / 60, 1),
                           "metrics": results[seed]}), flush=True)

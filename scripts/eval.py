@@ -31,6 +31,14 @@ def main():
     args = p.parse_args()
     apply_platform(args)
     cfg = build_config(args)
+    from gdn_tpu.cli import apply_saved_model_config
+
+    stage_dir = (
+        f"{cfg.train.ckpt_dir}/stage1" if args.stage == "1"
+        else f"{cfg.train.ckpt_dir}/stage2_best" if args.best
+        else f"{cfg.train.ckpt_dir}/stage2"
+    )
+    cfg = apply_saved_model_config(cfg, args, stage_dir)
 
     import jax
 

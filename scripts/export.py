@@ -29,6 +29,9 @@ def main():
     args = p.parse_args()
     apply_platform(args)
     cfg = build_config(args)
+    from gdn_tpu.cli import apply_saved_model_config
+
+    cfg = apply_saved_model_config(cfg, args, f"{cfg.train.ckpt_dir}/stage2")
 
     from gdn_tpu import checkpoint as ckpt
     from gdn_tpu.models import RtoDNet

@@ -50,6 +50,12 @@ def main():
     args = p.parse_args()
     apply_platform(args)
     cfg = build_config(args)
+    if not args.artifact:
+        from gdn_tpu.cli import apply_saved_model_config
+
+        cfg = apply_saved_model_config(
+            cfg, args, f"{cfg.train.ckpt_dir}/stage2"
+        )
 
     from gdn_tpu.server import DepthServer
 

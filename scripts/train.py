@@ -28,6 +28,19 @@ def main():
     args = p.parse_args()
     apply_platform(args)
     cfg = build_config(args)
+    from gdn_tpu.cli import apply_saved_model_config
+
+    if args.resume:
+        # Self-describing resume: the checkpoint's own architecture wins
+        # over defaults (explicit CLI flags still override, loudly).
+        stage_dir = f"{cfg.train.ckpt_dir}/stage{'1' if args.mode == 'DtoD' else '2'}"
+        cfg = apply_saved_model_config(cfg, args, stage_dir)
+    elif args.mode == "RtoD":
+        # The stage-1 checkpoint describes the decoder being transferred;
+        # adopting its model config keeps the transfer shape-compatible.
+        cfg = apply_saved_model_config(
+            cfg, args, args.stage1_ckpt or f"{cfg.train.ckpt_dir}/stage1"
+        )
 
     import jax
 

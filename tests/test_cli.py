@@ -91,3 +91,63 @@ def test_norm_flag():
     assert build_config(_parse([])).model.norm == "group"
     cfg = build_config(_parse(["--norm", "none"]))
     assert cfg.model.norm == "none"
+
+
+def test_self_describing_checkpoint_config(tmp_path):
+    """save_config/load_config round-trip + apply_saved_model_config:
+    a resize_conv-era checkpoint evaluates correctly with NO flags
+    (VERDICT r3 missing item 4), and explicit CLI flags still win."""
+    import dataclasses
+
+    from gdn_tpu.checkpoint import load_config, save_config
+    from gdn_tpu.cli import apply_saved_model_config
+    from gdn_tpu.config import kitti_config
+
+    trained = kitti_config(**{
+        "model.upsample": "resize_conv",
+        "model.enc_channels": (8, 16),
+        "model.dec_channels": (16, 8),
+        "train.ema_decay": 0.999,
+    })
+    d = str(tmp_path / "ck" / "stage2")
+    save_config(d, trained)
+    assert load_config(d) == trained
+
+    # no flags: the saved architecture is adopted wholesale
+    cfg = apply_saved_model_config(kitti_config(), _parse([]), d)
+    assert cfg.model == trained.model
+    assert cfg.model.upsample == "resize_conv"
+
+    # explicit flag: CLI wins over the saved value
+    cfg = apply_saved_model_config(
+        kitti_config(), _parse(["--upsample", "deconv"]), d
+    )
+    assert cfg.model.upsample == "deconv"
+    assert cfg.model.enc_channels == (8, 16)  # rest still adopted
+
+    # pre-round-4 checkpoint (no config.json): unchanged cfg
+    base = kitti_config()
+    assert apply_saved_model_config(
+        base, _parse([]), str(tmp_path / "nothing")
+    ) is base
+
+
+def test_config_from_dict_ignores_unknown_keys(tmp_path, capsys):
+    """A config.json written by a NEWER framework version must load
+    (unknown knobs dropped loudly), not crash old code."""
+    import json
+    import os
+
+    from gdn_tpu.checkpoint import load_config, save_config
+    from gdn_tpu.config import kitti_config
+
+    d = str(tmp_path / "ck")
+    save_config(d, kitti_config())
+    path = os.path.join(d, "config.json")
+    with open(path) as f:
+        payload = json.load(f)
+    payload["model"]["knob_from_the_future"] = 7
+    with open(path, "w") as f:
+        json.dump(payload, f)
+    assert load_config(d) == kitti_config()
+    assert "knob_from_the_future" in capsys.readouterr().out

@@ -1253,3 +1253,35 @@ def test_save_preds_dataset_order_mixed_resolutions(tmp_path):
         expect = np.asarray(fwd(g_state.params, b["rgb"]))[0, ..., 0]
         got = np.load(os.path.join(preds_dir, f"pred_{i:06d}.npy"))
         np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_train_loop_async_ckpt_and_config(tmp_path):
+    """The epoch-save path uses async checkpointing by default
+    (TrainConfig.async_ckpt) with a durability barrier on loop exit,
+    and persists the run Config next to the weights (self-describing
+    checkpoints) — VERDICT r3 items 1 and 5."""
+    import dataclasses
+
+    from gdn_tpu import checkpoint as ckpt_mod
+    from gdn_tpu.train.loop import train_stage1
+
+    cfg = dataclasses.replace(
+        TINY,
+        train=dataclasses.replace(
+            TINY.train, steps_per_epoch=2, log_every=10,
+            ckpt_dir=str(tmp_path / "ck"),
+        ),
+    )
+    assert cfg.train.async_ckpt  # the default IS the async path
+    ds = SyntheticDataset(batch_size=8, height=32, width=64)
+    state = train_stage1(cfg, ds, use_mesh=False, epochs=1)
+
+    # barrier ran on exit: the checkpoint is durable right now
+    template = _fresh_d_state()
+    restored = ckpt_mod.restore_checkpoint(
+        f"{cfg.train.ckpt_dir}/stage1", template
+    )
+    assert int(restored.step) == int(state.step) == 2
+    # and the config rode along
+    saved = ckpt_mod.load_config(f"{cfg.train.ckpt_dir}/stage1")
+    assert saved == cfg
