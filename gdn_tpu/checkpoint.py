@@ -57,6 +57,7 @@ def save_checkpoint(
     keep: int = 3,
     use_async: bool = False,
     cfg: Any = None,
+    loader_state: Optional[Dict[str, Any]] = None,
 ) -> None:
     """Save {params, opt_state, step} at `step`.
 
@@ -71,6 +72,12 @@ def save_checkpoint(
     from the checkpoint instead of requiring the user to remember the
     training flags (a silent shape error otherwise — e.g. a pre-round-3
     resize_conv checkpoint after the deconv default flip).
+
+    ``loader_state``: JSON-able input-stream cursor (e.g. the grain
+    loader's ``state_dict_at(step)``) — rides the orbax payload as a
+    named Json item, committed atomically with the weights, so a
+    multiprocess loader resumes its exact position
+    (:func:`load_loader_state`).
     """
     if cfg is not None:
         save_config(ckpt_dir, cfg)
@@ -83,7 +90,10 @@ def save_checkpoint(
     }
     if getattr(state, "ema_params", None) is not None:
         payload["ema_params"] = state.ema_params
-    mgr.save(step, args=ocp.args.StandardSave(payload))
+    items = {"state": ocp.args.StandardSave(payload)}
+    if loader_state is not None:
+        items["loader"] = ocp.args.JsonSave(loader_state)
+    mgr.save(step, args=ocp.args.Composite(**items))
     if not use_async:
         mgr.wait_until_finished()
 
@@ -191,7 +201,20 @@ def restore_checkpoint(
         # EMA rides the payload iff the run tracks it (TrainConfig.
         # ema_decay); pre-EMA checkpoints restore with ema=None intact.
         template["ema_params"] = state.ema_params
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    try:
+        restored = mgr.restore(
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
+        )["state"]
+    except ValueError:
+        # pre-round-4 layout: a single unnamed StandardSave item (no
+        # Composite wrapper).  A fresh manager kind avoids mixing the
+        # composite item-handler bindings with the legacy restore.
+        legacy = _manager(ckpt_dir, kind="legacy")
+        legacy.reload()
+        restored = legacy.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
     state = state.replace(
         params=restored["params"],
         opt_state=restored["opt_state"],
@@ -218,13 +241,43 @@ def load_params(
     step = step if step is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
-    restored = mgr.restore(
-        step,
-        args=ocp.args.PyTreeRestore(
-            {key: params_template}, partial_restore=True
-        ),
-    )
+    try:
+        restored = mgr.restore(
+            step,
+            args=ocp.args.Composite(state=ocp.args.PyTreeRestore(
+                {key: params_template}, partial_restore=True
+            )),
+        )["state"]
+    except ValueError:  # pre-round-4 single-item layout
+        legacy = _manager(ckpt_dir, kind="pytree_legacy")
+        legacy.reload()
+        restored = legacy.restore(
+            step,
+            args=ocp.args.PyTreeRestore(
+                {key: params_template}, partial_restore=True
+            ),
+        )
     return restored[key]
+
+
+def load_loader_state(
+    ckpt_dir: str, step: Optional[int] = None
+) -> Optional[Dict[str, Any]]:
+    """Read back the input-stream cursor saved alongside a checkpoint
+    (``save_checkpoint(..., loader_state=...)``); None when the
+    checkpoint has no loader item (pre-round-4, non-grain runs, or a
+    capture that failed at save time) — callers fall back to seek()."""
+    mgr = _manager(ckpt_dir, kind="json")
+    mgr.reload()
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        return None
+    try:
+        return mgr.restore(
+            step, args=ocp.args.Composite(loader=ocp.args.JsonRestore())
+        )["loader"]
+    except (ValueError, KeyError, FileNotFoundError):
+        return None
 
 
 def transfer_stage1_decoder(

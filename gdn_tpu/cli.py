@@ -134,6 +134,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                    help="KITTI host loader: threaded native decode or the "
                         "grain index-sampled pipeline (checkpointable "
                         "iterator, worker processes)")
+    p.add_argument("--workers", type=int, default=0,
+                   help="grain decode worker processes (0 = in-process; "
+                        "resume stays exact at any worker count via the "
+                        "checkpointed iterator state)")
     p.add_argument("--val_pairs_list", type=str, default="",
                    help="optional held-out list (train pair format) for "
                         "per-epoch validation loss")
@@ -298,6 +302,7 @@ def build_config(args: argparse.Namespace) -> Config:
             "train.grad_accum": args.grad_accum,
             "train.fused_guidance": args.fused_guidance,
             "data.loader": args.loader,
+            "data.grain_workers": args.workers,
             "data.train_wire": args.train_wire,
             "train.freeze_decoder": not args.no_freeze_decoder,
             "train.log_every": args.log_every,

@@ -219,6 +219,13 @@ class DataConfig:
     # pipeline with worker processes and checkpointable iterator state,
     # data/grain_loader.py — the SURVEY §2.1 grain host-decode plan).
     loader: str = "native"
+    # Grain decode worker PROCESSES (--workers).  0 = in-process (the
+    # right default on this 1-CPU container); >0 enables multiprocess
+    # decode on real hosts.  Resume with workers>0 rides the exact
+    # grain iterator state checkpointed in the orbax payload
+    # (state_dict_at / checkpoint.load_loader_state) — seek() only
+    # supports the single in-process index stream.
+    grain_workers: int = 0
     # Training-input H2D wire format.  "auto" (default): the host
     # loaders ship the PNG payloads' own dtypes — uint8 RGB and uint16
     # depth counts — and the decode (/255, /scale, clip, validity mask)

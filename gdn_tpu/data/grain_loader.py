@@ -19,6 +19,7 @@ to 0 (in-process); on real hosts raise DataConfig.num_workers.
 
 from __future__ import annotations
 
+import collections
 import json
 import os
 from typing import Dict, Iterator, Optional, Tuple
@@ -167,6 +168,13 @@ class GrainKittiDataset:
             worker_count=worker_count,
         )
         self._it = None
+        # Consumption-aligned state log: (produced_count, state) after
+        # each yielded batch.  A prefetch queue between this loader and
+        # the trainer means the raw cursor runs up to prefetch-depth
+        # batches AHEAD of what was trained on; state_dict_at(step)
+        # returns the state matching the trainer's actual position.
+        self._produced = 0
+        self._state_log: collections.deque = collections.deque(maxlen=64)
 
     def __len__(self) -> int:
         return len(self._source)
@@ -178,12 +186,40 @@ class GrainKittiDataset:
 
     # -- checkpointable stream position ---------------------------------
     def state_dict(self) -> str:
-        """JSON state of the stream position (grain get_state; bytes in
-        grain 0.2.x) — small enough to ride in the orbax payload."""
+        """JSON state of the RAW stream position (grain get_state; bytes
+        in grain 0.2.x) — small enough to ride in the orbax payload.
+        With a prefetch queue downstream, checkpoint
+        :meth:`state_dict_at` instead (this cursor includes batches that
+        were produced but never consumed by the trainer)."""
         return self._iterator().get_state().decode()
 
-    def load_state_dict(self, state: str) -> None:
+    def state_dict_at(self, consumed: int) -> str:
+        """Stream state as of ``consumed`` produced batches — the
+        checkpoint-correct form when a prefetch queue sits between this
+        loader and the trainer (scripts/train.py passes the trainer's
+        step count, which counts data batches consumed).  Works for any
+        worker_count: grain's get_state captures the multiprocess
+        cursor, unlike seek() (single index stream only)."""
+        if consumed == self._produced and not self._state_log:
+            return self.state_dict()  # nothing produced since positioning
+        for n, s in self._state_log:
+            if n == consumed:
+                return s
+        raise ValueError(
+            f"no recorded loader state for batch {consumed} "
+            f"(produced={self._produced}, log window="
+            f"{len(self._state_log)}/{self._state_log.maxlen}); states "
+            f"are recorded per produced batch and the log keeps the "
+            f"most recent {self._state_log.maxlen}"
+        )
+
+    def load_state_dict(self, state: str, produced: int = 0) -> None:
+        """Restore a state_dict()/state_dict_at() position.  ``produced``
+        re-bases the batch counter so later state_dict_at(step) calls
+        line up with the trainer's absolute step count."""
         self._iterator().set_state(state.encode())
+        self._produced = produced
+        self._state_log.clear()
 
     def seek(self, n_batches: int) -> None:
         """Shared resume contract (SeekableLoaderMixin): position the
@@ -203,9 +239,18 @@ class GrainKittiDataset:
         key = next(iter(last))
         obj["last_seen_indices"][key] = n_batches * self.batch_size - 1
         self._iterator().set_state(json.dumps(obj).encode())
+        self._produced = n_batches
+        self._state_log.clear()
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        for batch in self._iterator():
+        it = self._iterator()
+        while True:
+            try:
+                batch = next(it)
+            except StopIteration:
+                return
+            self._produced += 1
+            self._state_log.append((self._produced, it.get_state().decode()))
             yield batch
 
 

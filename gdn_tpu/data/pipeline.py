@@ -151,14 +151,13 @@ def make_loader(cfg: Config, split: str = "train"):
             if d.loader == "grain":
                 from gdn_tpu.data.grain_loader import GrainKittiDataset
 
-                # worker_count=0 (in-process): the exact-seek resume
-                # contract (scripts/train.py --resume) needs the single
-                # index stream; multiprocess loading is available
-                # programmatically together with state_dict() restore.
+                # grain_workers=0 (in-process) is the 1-CPU-container
+                # default; multiprocess resume is exact either way via
+                # the checkpointed iterator state (state_dict_at).
                 return GrainKittiDataset(
                     d.data_path, d.train_list, (h, w), d.batch_size,
                     seed=cfg.train.seed, max_depth=cfg.model.max_depth,
-                    worker_count=0, wire=d.train_wire,
+                    worker_count=d.grain_workers, wire=d.train_wire,
                 )
             return KittiTrainDataset(
                 d.data_path, d.train_list, (h, w), d.batch_size,
@@ -179,7 +178,8 @@ def make_loader(cfg: Config, split: str = "train"):
                 return GrainKittiDataset(
                     d.data_path, d.train_list, (h, w), d.batch_size,
                     seed=cfg.train.seed, max_depth=cfg.model.max_depth,
-                    worker_count=0, dataset="nyu", wire=d.train_wire,
+                    worker_count=d.grain_workers, dataset="nyu",
+                    wire=d.train_wire,
                 )
             return NyuTrainDataset(
                 d.data_path, d.train_list, (h, w), d.batch_size,

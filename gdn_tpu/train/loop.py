@@ -182,12 +182,18 @@ def train_stage1(
     val_iter: Optional[Iterable[Dict[str, Any]]] = None,
     val_steps: int = 10,
     mesh=None,
+    loader_state_fn=None,
 ):
     """D-net pretraining.  Returns the final TrainState.
 
     Pass ``mesh`` when the input pipeline already shards batches onto it
     (scripts/train.py does) — the in-loop shard_batch is then a no-op
     placement check, not a second transfer.
+
+    ``loader_state_fn(step) -> Optional[dict]``: capture the host
+    loader's cursor as of `step` consumed batches; rides each epoch
+    checkpoint so multiprocess loaders resume exactly
+    (checkpoint.load_loader_state).
     """
     h, w = cfg.model.image_size
     if mesh is None:
@@ -226,6 +232,10 @@ def train_stage1(
                     f"{cfg.train.ckpt_dir}/stage1", int(state.step), state,
                     cfg.train.keep_ckpts,
                     use_async=cfg.train.async_ckpt, cfg=cfg,
+                    loader_state=(
+                        loader_state_fn(int(state.step))
+                        if loader_state_fn else None
+                    ),
                 )
             if preempt.requested:
                 print(
@@ -258,6 +268,7 @@ def train_stage2(
     eval_dataset=None,
     eval_every: int = 1,
     eval_max_images: Optional[int] = None,
+    loader_state_fn=None,
 ):
     """Guided G-net training: transfer + freeze the stage-1 decoder,
     train with guidance targets from the frozen D-net.
@@ -341,6 +352,10 @@ def train_stage2(
                     f"{cfg.train.ckpt_dir}/stage2", int(state.step), state,
                     cfg.train.keep_ckpts,
                     use_async=cfg.train.async_ckpt, cfg=cfg,
+                    loader_state=(
+                        loader_state_fn(int(state.step))
+                        if loader_state_fn else None
+                    ),
                 )
             if preempt.requested:
                 print(

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Convergence-protocol CLI: the synthetic learning-evidence workflow
 (BASELINE.md "600-step synthetic protocol") as a tool, like
-scripts/profile.py is for the tracing workflow.
+scripts/profile_step.py is for the tracing workflow.
 
 Runs the full two-stage pipeline per seed — D-net pretrain ->
 decoder transfer+freeze -> guided G-net train — on the procedural

