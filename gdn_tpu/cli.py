@@ -28,11 +28,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="disable Pallas kernels (XLA fallback)")
     p.add_argument("--upsample", choices=["resize_conv", "deconv"],
                    default=None,
-                   help="decoder upsampling style: deconv (default; the "
-                        "reference's style — with the bilinear-composed "
-                        "init it converges at parity and runs +36%% "
-                        "faster, BASELINE.md) or resize_conv (round-2/3 "
-                        "default; loads pre-round-3 checkpoints)")
+                   help="decoder upsampling style: resize_conv (default; "
+                        "wins the full-res convergence protocol — a1 "
+                        "0.970 vs 0.932, BASELINE.md round 4) or deconv "
+                        "(the reference's style; ~35%% faster steps for "
+                        "the throughput-first regime)")
     p.add_argument("--deconv_init", choices=["lecun", "bilinear"],
                    default=None,
                    help="deconv kernel init: lecun (4x4, flax default) or "

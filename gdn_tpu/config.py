@@ -57,16 +57,18 @@ class ModelConfig:
     gn_analytic_vjp: bool = True
     # Activation inside conv blocks. ELU is standard in depth nets.
     activation: str = "elu"
-    # Upsampling style: "deconv" (stride-2 conv_transpose — the
-    # reference's own style, SURVEY §2.3) or "resize_conv" (bilinear
-    # resize + conv).  History: rounds 2-3 defaulted to resize_conv
-    # because randomly-initialized deconv converged worse (a1 0.874 vs
-    # 0.920) — but that deficit was entirely the checkerboard-prone
-    # random init, not the operator: with deconv_init="bilinear" the
-    # deconv decoder starts as the resize_conv function and converges
-    # at parity (a1 0.932 vs 0.927 mean over 3 seeds) at +36% step
-    # throughput (2627 vs 1930 imgs/sec B=128; BASELINE.md round 3).
-    upsample: str = "deconv"
+    # Upsampling style: "resize_conv" (bilinear resize + conv) or
+    # "deconv" (stride-2 conv_transpose — the reference's own style,
+    # SURVEY §2.3).  History: round 3 flipped the default to deconv on
+    # TINY-RES (32x64) convergence parity (a1 0.932 vs 0.927) at +36%
+    # step throughput — but the round-4 OPERATING-RESOLUTION protocol
+    # (128x416, B=32, 1500 steps/stage, 3 seeds; BASELINE.md "Full-res
+    # convergence") reversed it decisively: resize_conv a1 0.9702 /
+    # abs_rel 0.0638 / RMSE 1.163 vs deconv-bilinear 0.9323 / 0.0821 /
+    # 1.441.  The accuracy contract (BASELINE.json north star: metrics
+    # within 1%, THEN speed) picks resize_conv; deconv remains available
+    # via --upsample deconv for the throughput-first regime.
+    upsample: str = "resize_conv"
     # GroupNorm+activation epilogue on the deconv upsample branch.
     # Measured (round 3, BASELINE.md): costs ~9% step throughput (2494
     # vs 2731 imgs/sec at B=128) and does NOT close the deconv
@@ -82,10 +84,10 @@ class ModelConfig:
     # computes the SAME function as the resize_conv decoder on interior
     # pixels (no checkerboard).  Built to de-confound the deconv
     # convergence comparison (round-2/3 rejected deconv on a1; both
-    # rejected variants started from checkerboard-prone random inits) —
-    # and it resolved it: bilinear-init deconv converges at parity
-    # with resize_conv (a1 0.929/0.927/0.939 vs 0.920/0.920/0.940 over
-    # seeds 0-2, BASELINE.md), so deconv is the default.
+    # rejected variants started from checkerboard-prone random inits).
+    # At tiny res it reached parity, but the full-res protocol still
+    # favors resize_conv (see `upsample`); bilinear stays the default
+    # INIT for anyone choosing --upsample deconv.
     deconv_init: str = "bilinear"
     # Output-form custom VJP for the deconv branch's bare ELU
     # (ops/elu.py): the backward derives elu' from the OUTPUT (y>0 ? 1

@@ -79,7 +79,8 @@ def test_no_pallas_flag():
 def test_upsample_flag():
     cfg = build_config(_parse(["--upsample", "deconv"]))
     assert cfg.model.upsample == "deconv"
-    assert build_config(_parse([])).model.upsample == "deconv"
+    # resize_conv won the full-res convergence protocol (round 4)
+    assert build_config(_parse([])).model.upsample == "resize_conv"
     assert build_config(_parse([])).model.deconv_init == "bilinear"
     cfg = build_config(_parse(["--upsample", "resize_conv"]))
     assert cfg.model.upsample == "resize_conv"

@@ -79,9 +79,14 @@ def _traj_compare(jax_traj, torch_traj):
             )
 
 
-@pytest.fixture(scope="module")
-def stage1_result():
+@pytest.fixture(scope="module", params=["resize_conv", "deconv"])
+def stage1_result(request):
+    # Both decoder styles ship (resize_conv default after the round-4
+    # full-res protocol; deconv as the throughput option) — both keep
+    # full two-stage torch-parity coverage.
     cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, upsample=request.param))
     h, w = cfg.model.image_size
     batches = _batches(cfg, N_STEPS)
 
