@@ -69,6 +69,17 @@ class ModelConfig:
     # within 1%, THEN speed) picks resize_conv; deconv remains available
     # via --upsample deconv for the throughput-first regime.
     upsample: str = "resize_conv"
+    # Composed resize_conv execution: run the resize_conv branch's
+    # bilinear-2x + conv3x3 as ONE stride-2 conv_transpose with the
+    # 6x6 kernel composed from the SAME 3x3 parameter each step, plus
+    # an exact thin-slab edge correction (ops/resize.py
+    # composed_resize_conv2x).  Same trained function and identical
+    # checkpoints (exact to float rounding, fwd ~3e-6 / grads ~5e-7
+    # rel) — just skips materializing the 4x-resized intermediate.
+    # TPU A/B (two interleaved passes each, /tmp/ab_composed.py r4):
+    # B=128 2166/2169 vs 1997/1988 imgs/sec (+8.8%), B=32 675/674 vs
+    # 636/634 (+6.4%) — default ON (BASELINE.md round 4).
+    resize_conv_composed: bool = True
     # GroupNorm+activation epilogue on the deconv upsample branch.
     # Measured (round 3, BASELINE.md): costs ~9% step throughput (2494
     # vs 2731 imgs/sec at B=128) and does NOT close the deconv

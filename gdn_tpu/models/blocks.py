@@ -366,6 +366,12 @@ class UpBlock(nn.Module):
                 use_fused_up = fits_vmem(
                     x.shape[1], x.shape[2], x.shape[-1], self.features
                 )
+            use_composed = (
+                c.resize_conv_composed
+                and not use_fused_up
+                and tuple(target_hw) == (2 * x.shape[1], 2 * x.shape[2])
+                and x.shape[1] >= 2 and x.shape[2] >= 2
+            )
             if use_fused_up:
                 from gdn_tpu.kernels.upsample import fused_upsample_conv
 
@@ -373,6 +379,18 @@ class UpBlock(nn.Module):
                     x.astype(jnp.float32), kernel, scale, bias, groups,
                     1e-6, False, c.dtype,
                 ).astype(c.compute_dtype)
+            elif use_composed:
+                # Exact single-op execution of resize+conv (composed
+                # 6x6 conv_transpose + thin-slab edge fix) — same
+                # function, same params, no materialized 4x resize
+                # (ops/resize.py composed_resize_conv2x).
+                from gdn_tpu.ops.resize import composed_resize_conv2x
+
+                y = composed_resize_conv2x(
+                    x.astype(c.compute_dtype),
+                    kernel.astype(c.compute_dtype),
+                )
+                x = _group_norm_act(y, scale, bias, groups, c)
             else:
                 # precise=False keeps the feature resize in bf16.
                 # (Measured: the concat-shift interleave alternative

@@ -78,6 +78,28 @@ def compose_bilinear_deconv_kernel(k3: jnp.ndarray) -> jnp.ndarray:
     return w
 
 
+def _up_v(x: jnp.ndarray) -> jnp.ndarray:
+    """Vertical exact-2x bilinear (half-pixel centers, edge clamp) of
+    (B, H, W, C) via shifts/interleave — rows 2i = 0.25·x[i-1]+0.75·x[i],
+    rows 2i+1 = 0.75·x[i]+0.25·x[i+1], clamped at the ends."""
+    b, h, w, c = x.shape
+    x_up = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    x_dn = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    r0 = 0.25 * x_up + 0.75 * x
+    r1 = 0.75 * x + 0.25 * x_dn
+    return jnp.stack([r0, r1], axis=2).reshape(b, 2 * h, w, c)
+
+
+def _up_h(x: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal counterpart of :func:`_up_v`."""
+    b, h, w, c = x.shape
+    x_lf = jnp.concatenate([x[:, :, :1], x[:, :, :-1]], axis=2)
+    x_rt = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    c0 = 0.25 * x_lf + 0.75 * x
+    c1 = 0.75 * x + 0.25 * x_rt
+    return jnp.stack([c0, c1], axis=3).reshape(b, h, 2 * w, c)
+
+
 def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
     """Exact-2x bilinear upsample of (B, H, W, C), half-pixel centers,
     edge clamp — bit-identical to ``resize_bilinear(x, (2H, 2W))`` in
@@ -89,14 +111,59 @@ def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
     bwd, both nets), a dominant share of the train step's HBM traffic.
     This formulation is layout-preserving and fuses into neighbors.
     """
-    b, h, w, c = x.shape
-    x_up = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
-    x_dn = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
-    r0 = 0.25 * x_up + 0.75 * x
-    r1 = 0.75 * x + 0.25 * x_dn
-    y = jnp.stack([r0, r1], axis=2).reshape(b, 2 * h, w, c)
-    y_lf = jnp.concatenate([y[:, :, :1], y[:, :, :-1]], axis=2)
-    y_rt = jnp.concatenate([y[:, :, 1:], y[:, :, -1:]], axis=2)
-    c0 = 0.25 * y_lf + 0.75 * y
-    c1 = 0.75 * y + 0.25 * y_rt
-    return jnp.stack([c0, c1], axis=3).reshape(b, 2 * h, 2 * w, c)
+    return _up_h(_up_v(x))
+
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def composed_resize_conv2x(x: jnp.ndarray, k3: jnp.ndarray) -> jnp.ndarray:
+    """``conv3x3_SAME(resize_bilinear(x, 2x))`` computed WITHOUT ever
+    materializing the 2x-resized tensor — exact everywhere, including
+    the boundary (float-rounding level: fwd ~3e-6, grads ~5e-7
+    relative; tests/test_ops.py).
+
+    The two ops are linear, so their composition is ONE stride-2
+    ``conv_transpose`` with the 6x6 kernel
+    :func:`compose_bilinear_deconv_kernel`\\ (k3) — recomputed from the
+    SAME (3,3,cin,cout) parameter every call, so the trained function
+    space (and checkpoints) stay exactly resize_conv's while the bulk
+    of the compute runs at the deconv branch's speed (no 4x-resized
+    intermediate: ~7 GB/step less HBM traffic at B=128, BASELINE.md
+    round 4).  The composed kernel only matches on interior pixels
+    (the resize's edge CLAMP vs the transpose conv's zero padding), so
+    the outer 2 output rows/cols are recomputed exactly via the
+    reference path on thin input slabs (2 input rows/cols each) and
+    stitched in with concats — O(boundary) extra work.
+
+    Requires H >= 2 and W >= 2 (callers fall back to the unfused path
+    otherwise, models/blocks.py UpBlock).
+    """
+    b, h, w, cin = x.shape
+    w6 = compose_bilinear_deconv_kernel(k3)
+    y = jax.lax.conv_transpose(x, w6, (2, 2), "SAME",
+                               dimension_numbers=_DN)
+
+    def conv(u, pad_h, pad_w):
+        return jax.lax.conv_general_dilated(
+            u, k3, (1, 1), (pad_h, pad_w), dimension_numbers=_DN)
+
+    zrow = jnp.zeros((b, 1, 2 * w, cin), x.dtype)
+    zcol = jnp.zeros((b, 2 * h - 2, 1, cin), x.dtype)
+    # top: output rows 0..1 need U rows 0..2 (from x rows 0..1) plus the
+    # conv's zero row above; conv VALID vertically, SAME horizontally.
+    ut = _up_h(_up_v(x[:, 0:2])[:, 0:3])
+    top = conv(jnp.concatenate([zrow, ut], axis=1), (0, 0), (1, 1))
+    # bottom: U rows 2h-3..2h-1 from x rows h-2..h-1; zero row below.
+    ub = _up_h(_up_v(x[:, h - 2:])[:, 1:4])
+    bot = conv(jnp.concatenate([ub, zrow], axis=1), (0, 0), (1, 1))
+    # left: output rows 2..2h-3, cols 0..1 need U rows 1..2h-2 x cols
+    # 0..2 (from x cols 0..1); zero col at the left, VALID both ways.
+    ul = _up_h(_up_v(x[:, :, 0:2])[:, 1:2 * h - 1])[:, :, 0:3]
+    left = conv(jnp.concatenate([zcol, ul], axis=2), (0, 0), (0, 0))
+    # right: mirror.
+    ur = _up_h(_up_v(x[:, :, w - 2:])[:, 1:2 * h - 1])[:, :, 1:4]
+    right = conv(jnp.concatenate([ur, zcol], axis=2), (0, 0), (0, 0))
+
+    mid = jnp.concatenate([left, y[:, 2:-2, 2:-2], right], axis=2)
+    return jnp.concatenate([top, mid, bot], axis=1)

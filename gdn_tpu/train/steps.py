@@ -37,12 +37,42 @@ def _spatial_safe_cfg(cfg: Config, mesh: Optional[Mesh]) -> Config:
     custom call has no SPMD partitioning rule, so under height-sharded
     inputs XLA would have to all-gather around it — the jnp SSIM/grad
     losses partition natively (the blur convs get halo exchanges, the
-    reductions become psums)."""
-    if spatial_size(mesh) > 1 and cfg.loss.use_pallas:
-        return dataclasses.replace(
+    reductions become psums).
+
+    Also forces ``resize_conv_composed=False``: with height-sharded
+    inputs the SPMD partitioner MISCOMPILES the composed op's kernel
+    gradient (measured dk rel-err 0.16 on the (2,4) CPU mesh — the
+    combined contributions from the conv_transpose + edge-slab convs
+    onto the shared 3x3 parameter are reduced wrong; each piece alone
+    and the unfused path are exact, and 1-D data meshes are exact).
+    The flag is execution-only (same function, same params —
+    tests/test_ops.py), so flipping it per-mesh changes no math.
+    """
+    if spatial_size(mesh) <= 1:
+        return cfg
+    if cfg.loss.use_pallas:
+        cfg = dataclasses.replace(
             cfg, loss=dataclasses.replace(cfg.loss, use_pallas=False)
         )
+    if cfg.model.resize_conv_composed:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, resize_conv_composed=False)
+        )
     return cfg
+
+
+def _model_apply_override(orig: Config, safe: Config, net_cls):
+    """When :func:`_spatial_safe_cfg` changed the MODEL config
+    (execution-only flags like ``resize_conv_composed``),
+    ``state.apply_fn`` — bound at ``create_state`` time from the
+    original cfg — must be replaced by an apply built from the safe
+    one.  The param tree is identical across these flags
+    (tests/test_ops.py model-equivalence test), so the swap changes
+    execution strategy only."""
+    if safe.model == orig.model:
+        return None
+    return net_cls(cfg=safe.model).apply
 
 
 def _apply_update(state: TrainState, grads, cfg: Config) -> TrainState:
@@ -206,11 +236,16 @@ def make_stage1_step(
 
     With a mesh: donated replicated state, batch sharded on "data"
     (and H on "spatial" for 2-D meshes)."""
-    cfg = _spatial_safe_cfg(cfg, mesh)
+    from gdn_tpu.models import DtoDNet
+
+    orig, cfg = cfg, _spatial_safe_cfg(cfg, mesh)
+    override = _model_apply_override(orig, cfg, DtoDNet)
 
     def step(state: TrainState, batch: Batch):
         grad_fn = jax.value_and_grad(_stage1_loss, has_aux=True)
-        (_, terms), grads = grad_fn(state.params, state.apply_fn, batch, cfg)
+        (_, terms), grads = grad_fn(
+            state.params, override or state.apply_fn, batch, cfg
+        )
         new_state = _apply_update(state, grads, cfg)
         return new_state, terms
 
@@ -229,9 +264,10 @@ def make_stage2_step(
     inside ``state`` is additionally frozen via the optimizer mask when
     cfg.train.freeze_decoder.
     """
-    from gdn_tpu.models import DtoDNet
+    from gdn_tpu.models import DtoDNet, RtoDNet
 
-    cfg = _spatial_safe_cfg(cfg, mesh)
+    orig, cfg = cfg, _spatial_safe_cfg(cfg, mesh)
+    override = _model_apply_override(orig, cfg, RtoDNet)
     d_apply = DtoDNet(cfg=cfg.model).apply
     if cfg.train.fused_encoders:
         assert cfg.train.fused_guidance, (
@@ -253,7 +289,8 @@ def make_stage2_step(
         def step(state: TrainState, d_params, batch: Batch):
             grad_fn = jax.value_and_grad(_stage2_loss, has_aux=True)
             (_, terms), grads = grad_fn(
-                state.params, d_params, state.apply_fn, d_apply, batch, cfg
+                state.params, d_params, override or state.apply_fn,
+                d_apply, batch, cfg
             )
             new_state = _apply_update(state, grads, cfg)
             return new_state, terms
@@ -279,7 +316,10 @@ def make_stage1_multistep(
 
     Signature: step(state, batches) with batches stacked {k: (S,B,...)}.
     """
-    cfg = _spatial_safe_cfg(cfg, mesh)
+    from gdn_tpu.models import DtoDNet
+
+    orig, cfg = cfg, _spatial_safe_cfg(cfg, mesh)
+    override = _model_apply_override(orig, cfg, DtoDNet)
 
     def step(state: TrainState, batches: Batch):
         s = jax.tree.leaves(batches)[0].shape[0]
@@ -291,7 +331,9 @@ def make_stage1_multistep(
         def body(carry, batch):
             state = carry
             grad_fn = jax.value_and_grad(_stage1_loss, has_aux=True)
-            (_, terms), grads = grad_fn(state.params, state.apply_fn, batch, cfg)
+            (_, terms), grads = grad_fn(
+                state.params, override or state.apply_fn, batch, cfg
+            )
             return _apply_update(state, grads, cfg), terms
 
         state, terms = jax.lax.scan(body, state, batches)
@@ -313,9 +355,10 @@ def make_stage2_multistep(
     XLA can overlap the scan iterations' transfers.  Loss terms are
     returned for the LAST step (matching what a per-step loop logs).
     """
-    from gdn_tpu.models import DtoDNet
+    from gdn_tpu.models import DtoDNet, RtoDNet
 
-    cfg = _spatial_safe_cfg(cfg, mesh)
+    orig, cfg = cfg, _spatial_safe_cfg(cfg, mesh)
+    override = _model_apply_override(orig, cfg, RtoDNet)
     d_apply = DtoDNet(cfg=cfg.model).apply
     if cfg.train.fused_encoders:
         assert cfg.train.fused_guidance, "fused_encoders requires fused_guidance"
@@ -337,7 +380,8 @@ def make_stage2_multistep(
                 return _apply_update(state, grads, cfg), terms
             grad_fn = jax.value_and_grad(_stage2_loss, has_aux=True)
             (_, terms), grads = grad_fn(
-                state.params, d_params, state.apply_fn, d_apply, batch, cfg
+                state.params, d_params, override or state.apply_fn,
+                d_apply, batch, cfg
             )
             return _apply_update(state, grads, cfg), terms
 

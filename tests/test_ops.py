@@ -225,11 +225,13 @@ def test_elu_outform_vjp_step_matches_default(rng):
             "data.batch_size": 2,
             "train.ckpt_dir": "",
         })
+        # upsample="deconv" explicitly: the outform ELU VJP lives on the
+        # deconv branch (the overall default is resize_conv since the
+        # round-4 full-res convergence revert).
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(
-                cfg.model, elu_outform_vjp=outform)
+                cfg.model, elu_outform_vjp=outform, upsample="deconv")
         )
-        assert cfg.model.upsample == "deconv"  # the branch under test
         state = create_state(DtoDNet(cfg=cfg.model), (1, 32, 64, 1),
                              cfg.train, 1)
         step = make_stage1_step(cfg)
@@ -245,3 +247,73 @@ def test_elu_outform_vjp_step_matches_default(rng):
         np.testing.assert_allclose(
             np.asarray(pa), np.asarray(pb), rtol=5e-3, atol=2e-5
         )
+
+
+@pytest.mark.parametrize("hw", [(9, 13), (4, 13), (16, 52), (2, 2)])
+def test_composed_resize_conv2x_exact(rng, hw):
+    """composed_resize_conv2x == conv3x3_SAME(resize_bilinear_2x(x))
+    EVERYWHERE — including the boundary (the thin-slab edge fix), at
+    float-rounding tolerance, for values and both gradients.  This
+    exactness is what lets ModelConfig.resize_conv_composed swap the
+    execution without new convergence evidence (same trained
+    function, same checkpoints)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gdn_tpu.ops.resize import composed_resize_conv2x
+
+    h, w = hw
+    cin, cout = 6, 4
+    x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+    k3 = jnp.asarray(
+        rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.1)
+
+    def ref(x, k):
+        up = resize_bilinear(x, (2 * h, 2 * w))
+        return jax.lax.conv_general_dilated(
+            up, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    r, g = ref(x, k3), composed_resize_conv2x(x, k3)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                               rtol=1e-4, atol=1e-5)
+
+    gr = jax.grad(lambda x, k: jnp.sum(ref(x, k) ** 2), (0, 1))(x, k3)
+    gg = jax.grad(lambda x, k: jnp.sum(composed_resize_conv2x(x, k) ** 2),
+                  (0, 1))(x, k3)
+    for a, b in zip(gr, gg):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 1e-5
+
+
+def test_composed_resize_conv_model_equivalence(rng):
+    """Full RtoD forward with resize_conv_composed on vs off: identical
+    param tree (checkpoints interchangeable across the flag) and equal
+    outputs at fp32."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gdn_tpu.config import ModelConfig
+    from gdn_tpu.models import RtoDNet
+
+    base = ModelConfig(
+        image_size=(32, 64), enc_channels=(8, 16), dec_channels=(16, 8),
+        dtype="float32", use_pallas=False,
+    )
+    on = dataclasses.replace(base, resize_conv_composed=True)
+    x = jnp.asarray(rng.normal(size=(2, 32, 64, 3)).astype(np.float32))
+
+    p = RtoDNet(cfg=base).init(jax.random.PRNGKey(0), x)["params"]
+    p_on = RtoDNet(cfg=on).init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(
+        p_on)
+
+    out_off = RtoDNet(cfg=base).apply({"params": p}, x)
+    out_on = RtoDNet(cfg=on).apply({"params": p}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_on["depth"]), np.asarray(out_off["depth"]),
+        rtol=1e-4, atol=1e-4,
+    )

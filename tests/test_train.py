@@ -186,15 +186,24 @@ def test_spatial_partition_stage1_matches_single_device(d_state):
 
 def test_spatial_safe_cfg_disables_pallas_loss():
     """Spatial meshes must route the loss through the jnp path (a
-    Pallas custom call has no SPMD partitioning rule); 1-D meshes keep
-    the config untouched."""
+    Pallas custom call has no SPMD partitioning rule) and the
+    resize_conv branch through the UNFUSED path (the SPMD partitioner
+    miscompiles the composed op's kernel gradient under height-sharded
+    inputs — dk rel-err 0.16 measured, steps.py docstring); 1-D meshes
+    keep the config untouched."""
+    import dataclasses
+
     from gdn_tpu.parallel.mesh import create_mesh
     from gdn_tpu.train.steps import _spatial_safe_cfg
 
     assert TINY.loss.use_pallas
+    assert TINY.model.resize_conv_composed
     out = _spatial_safe_cfg(TINY, create_mesh(8, spatial=2))
     assert not out.loss.use_pallas
-    assert out.model == TINY.model and out.train == TINY.train
+    assert not out.model.resize_conv_composed
+    assert out.model == dataclasses.replace(
+        TINY.model, resize_conv_composed=False)
+    assert out.train == TINY.train
     assert _spatial_safe_cfg(TINY, create_mesh(8)) is TINY
     assert _spatial_safe_cfg(TINY, None) is TINY
 
@@ -1285,3 +1294,135 @@ def test_train_loop_async_ckpt_and_config(tmp_path):
     # and the config rode along
     saved = ckpt_mod.load_config(f"{cfg.train.ckpt_dir}/stage1")
     assert saved == cfg
+
+
+def test_spatial_accum_ema_matches_single_device():
+    """SP composition (VERDICT r3 weak item 3): grad_accum=2 + EMA on
+    the 2-D (data=2, spatial=4) mesh over a full accumulation cycle
+    agrees with the single-device path, including ema_params."""
+    import dataclasses
+
+    from gdn_tpu.parallel.mesh import create_mesh, shard_batch
+
+    cfg = dataclasses.replace(TINY, train=dataclasses.replace(
+        TINY.train, grad_accum=2, ema_decay=0.9))
+    state = create_state(DtoDNet(cfg=cfg.model), (1, 32, 64, 1),
+                         cfg.train, 10)
+    mesh = create_mesh(8, spatial=4)
+    step_single = make_stage1_step(cfg, mesh=None)
+    step_mesh = make_stage1_step(cfg, mesh=mesh)
+    s_a = jax.tree.map(jnp.copy, state)
+    s_b = jax.tree.map(jnp.copy, state)
+    for seed in (0, 1):  # one full accumulation cycle
+        batch = _batch(seed, b=8)
+        s_a, _ = step_single(s_a, batch)
+        s_b, _ = step_mesh(s_b, shard_batch(batch, mesh))
+    for tree in ("params", "ema_params"):
+        for a, b in zip(jax.tree.leaves(getattr(s_a, tree)),
+                        jax.tree.leaves(getattr(s_b, tree))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-6)
+
+
+def test_spatial_multistep_matches_sequential(d_state):
+    """SP x multistep: the K-step scan on the (data=2, spatial=4) mesh
+    (stacked batches sharded on data + height on spatial) matches the
+    sequential single-device steps."""
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+    from gdn_tpu.parallel.mesh import create_mesh, shard_stacked_batch
+    from gdn_tpu.train.steps import make_stage2_multistep
+
+    K = 2
+    mesh = create_mesh(8, spatial=4)
+    g_state = create_state(RtoDNet(cfg=TINY.model), (1, 32, 64, 3),
+                           TINY.train, 10, freeze_decoder=True)
+    g_state = g_state.replace(
+        params=transfer_stage1_decoder(g_state.params, d_state.params))
+    batches = [_batch(30 + i) for i in range(K)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+    seq = make_stage2_step(TINY, mesh=None)
+    sp = make_stage2_multistep(TINY, K, mesh=mesh)
+    s_a = jax.tree.map(jnp.copy, g_state)
+    s_b = jax.tree.map(jnp.copy, g_state)
+    for b in batches:
+        s_a, t_a = seq(s_a, d_state.params, b)
+    s_b, t_b = sp(s_b, d_state.params, shard_stacked_batch(stacked, mesh))
+    assert float(t_a["total"]) == pytest.approx(float(t_b["total"]),
+                                                rel=1e-4)
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_spatial_tall_image_and_memory_split(d_state):
+    """SP's stated purpose is resolutions that exceed one chip: at a
+    taller 256x64 image, (a) the spatial=8 step matches the
+    single-device math, and (b) XLA's compiled per-device temp memory
+    (activations + workspace) actually SPLITS — measured well under
+    half the single-device program's (observed ~0.29x; halos and
+    replicated params keep it above 1/8)."""
+    import dataclasses
+
+    from gdn_tpu.parallel.mesh import create_mesh, shard_batch
+
+    H, W, B = 256, 64, 8
+    # resize_conv_composed off on BOTH paths: _spatial_safe_cfg forces
+    # it off under SP (SPMD kernel-grad miscompile, steps.py), and
+    # Adam's first-step sign normalization amplifies the composed-vs-
+    # unfused float-rounding delta (~5e-7) to full ±lr updates on
+    # near-zero gradient elements — compare like with like.
+    cfg = dataclasses.replace(TINY, model=dataclasses.replace(
+        TINY.model, image_size=(H, W), resize_conv_composed=False))
+    batch = synthetic_batch(jax.random.PRNGKey(5), B, H, W, 80.0)
+    # Break exact ties in the L1 gradient-loss diffs: synthetic depth is
+    # piecewise-constant (98.5% of GT dx are exactly 0), and |.|'s
+    # backward is sign(), so fwd reassociation noise between the two
+    # programs (~1e-7) would flip ~12% of the sign terms — a property
+    # of the tied DATA, not of the sharded math.  Continuous noise
+    # makes ties measure-zero.
+    batch["depth"] = batch["depth"] + 0.01 * jax.random.uniform(
+        jax.random.PRNGKey(6), batch["depth"].shape)
+    state = create_state(DtoDNet(cfg=cfg.model), (1, H, W, 1),
+                         cfg.train, 10)
+
+    step1 = make_stage1_step(cfg, mesh=None)
+    mesh = create_mesh(8, spatial=8)
+    step8 = make_stage1_step(cfg, mesh=mesh)
+    sb = shard_batch(batch, mesh)
+
+    t1 = step1.lower(jax.tree.map(jnp.copy, state), batch).compile()
+    t8 = step8.lower(jax.tree.map(jnp.copy, state), sb).compile()
+    m1 = t1.memory_analysis().temp_size_in_bytes
+    m8 = t8.memory_analysis().temp_size_in_bytes
+    assert m8 < 0.5 * m1, (m8, m1)
+
+    s_a, ta = step1(jax.tree.map(jnp.copy, state), batch)
+    s_b, tb = step8(jax.tree.map(jnp.copy, state), sb)
+    assert float(ta["total"]) == pytest.approx(float(tb["total"]), rel=1e-5)
+
+    # Compare GRADIENTS, not post-Adam params: Adam's first-step update
+    # is ±lr·sign(g), so psum-reordering noise on near-zero gradient
+    # elements would amplify to full 2·lr param diffs (observed 1% of
+    # elements at 256x64/spatial=8) — a property of the comparison, not
+    # of the sharded math.
+    from gdn_tpu.parallel.mesh import batch_sharding, replicated
+    from gdn_tpu.train.steps import _spatial_safe_cfg, _stage1_loss
+
+    scfg = _spatial_safe_cfg(cfg, mesh)
+    apply_fn = DtoDNet(cfg=scfg.model).apply
+
+    def grads_of(params, b):
+        g = jax.grad(_stage1_loss, has_aux=True)(params, apply_fn, b, scfg)
+        return g[0]
+
+    g1 = jax.jit(grads_of)(state.params, batch)
+    g8 = jax.jit(
+        grads_of,
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=replicated(mesh),
+    )(jax.device_put(state.params, replicated(mesh)), sb)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 5e-4
