@@ -359,3 +359,59 @@ def stage2_loss_t(g_twin: TorchGDN, d_twin: TorchGDN, batch_t, cfg: Config):
         target_latents=[d_out["latent"].detach(),
                         *[f.detach() for f in d_out["dec_feats"]]],
     )
+
+
+# ---------------------------------------------------------------------------
+# Full eval protocol (torch, fp32) — the cross-implementation oracle for
+# gdn_tpu.evaluate (VERDICT r3 missing item 3 / SURVEY §7 hard part 1:
+# interpolation-kernel parity on the pred -> GT-res resize).
+# ---------------------------------------------------------------------------
+
+EVAL_METRICS = ("abs_rel", "sq_rel", "rmse", "rmse_log", "log10",
+                "a1", "a2", "a3")
+
+
+def _crop_mask_t(h: int, w: int, crop: str) -> torch.Tensor:
+    if crop == "none":
+        return torch.ones(h, w, dtype=torch.bool)
+    fr = {
+        "garg": (0.40810811, 0.99189189, 0.03594771, 0.96405229),
+        "eigen": (0.3324324, 0.91351351, 0.0359477, 0.96405229),
+    }[crop]
+    m = torch.zeros(h, w, dtype=torch.bool)
+    m[int(fr[0] * h):int(fr[1] * h), int(fr[2] * w):int(fr[3] * w)] = True
+    return m
+
+
+def eval_protocol_t(pred_small: torch.Tensor, gt: torch.Tensor,
+                    cap: float, min_depth: float = 1e-3,
+                    crop: str = "garg",
+                    median_scaling: bool = False) -> dict:
+    """The reference eval protocol, independently in torch fp32:
+    bilinear-resize pred to GT res (align_corners=False = the pinned
+    half-pixel-centers semantics) -> range mask & crop -> optional
+    median scaling of the RAW pred (clip AFTER scaling) -> the 8
+    metrics over boolean-indexed valid pixels."""
+    hg, wg = gt.shape
+    pred = F.interpolate(pred_small[None, None].float(), size=(hg, wg),
+                         mode="bilinear", align_corners=False)[0, 0]
+    mask = (gt > min_depth) & (gt < cap) & _crop_mask_t(hg, wg, crop)
+    if median_scaling:
+        sel = pred[mask]
+        if sel.numel() > 0 and float(sel.median()) > 1e-8:
+            pred = pred * (gt[mask].median() / sel.median())
+    pred = pred.clamp(min_depth, cap)
+    g, p = gt[mask], pred[mask]
+    thresh = torch.maximum(g / p, p / g)
+    diff = g - p
+    log_diff = torch.log(g) - torch.log(p)
+    return {
+        "abs_rel": float((diff.abs() / g).mean()),
+        "sq_rel": float((diff ** 2 / g).mean()),
+        "rmse": float((diff ** 2).mean().sqrt()),
+        "rmse_log": float((log_diff ** 2).mean().sqrt()),
+        "log10": float((torch.log10(g) - torch.log10(p)).abs().mean()),
+        "a1": float((thresh < 1.25).float().mean()),
+        "a2": float((thresh < 1.25 ** 2).float().mean()),
+        "a3": float((thresh < 1.25 ** 3).float().mean()),
+    }
