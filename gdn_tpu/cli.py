@@ -90,6 +90,11 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                    help="accumulate gradients over N micro-batches per "
                         "optimizer update (effective batch = N * "
                         "batch_size)")
+    p.add_argument("--decode_cache", type=str, default="",
+                   help="directory for the decoded-sample cache "
+                        "(data/cache.py): epoch 1 decodes + persists "
+                        "wire-dtype samples; later epochs read memmaps "
+                        "at memcpy speed (native loader only)")
     p.add_argument("--train_wire", choices=["auto", "f32"], default="auto",
                    help="training-input H2D wire: auto ships uint8 RGB "
                         "+ uint16 depth counts and decodes on device "
@@ -304,6 +309,7 @@ def build_config(args: argparse.Namespace) -> Config:
             "data.loader": args.loader,
             "data.grain_workers": args.workers,
             "data.train_wire": args.train_wire,
+            "data.decode_cache": args.decode_cache,
             "train.freeze_decoder": not args.no_freeze_decoder,
             "train.log_every": args.log_every,
             "mesh.num_devices": args.num_devices,

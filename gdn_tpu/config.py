@@ -263,6 +263,13 @@ class DataConfig:
     # Scale-crop augmentation range (resize by s then crop back).
     scale_range: Tuple[float, float] = (1.0, 1.15)
     prefetch: int = 2
+    # Decoded-sample cache directory (data/cache.py): epoch 1 decodes
+    # and persists wire-dtype samples to flat memmaps; later epochs are
+    # served at memcpy speed (the tf.data .cache() analogue, for
+    # corpora that fit local disk).  Native-loader datasets only
+    # (kitti/nyu); "" disables.  Measured on the 1-CPU container:
+    # 168 -> >1000 host imgs/sec (BASELINE.md round 4).
+    decode_cache: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,116 @@
+"""Memmap-backed decoded-sample cache for the train loaders.
+
+Image decode dominates the host side of disk-fed training on small
+hosts: measured on the 1-CPU container, the native loader sustains
+~168-257 imgs/sec decoding 128x416 PNGs while the chip consumes 2165
+imgs/sec (BASELINE.md round 4, "disk-fed pipeline").  For corpora that
+fit local disk, decoding the same PNG every epoch is pure waste — the
+standard fix (tf.data ``.cache()`` analogue) is to persist the decoded
+samples once and serve every later epoch from a flat mmap at memcpy
+speed.
+
+Layout under ``cache_dir`` (one cache per (list, resolution) pair):
+
+- ``manifest.json`` — ``{n, height, width, depth_scale, key}``; ``key``
+  fingerprints the entry list + decode geometry, so a stale cache
+  (different corpus, size, or scale) is detected and rebuilt, never
+  silently served.
+- ``rgb.u8``    — (N, H, W, 3) uint8 memmap.
+- ``depth.u16`` — (N, H, W) uint16 depth-count memmap (value/scale m —
+  the loaders' own wire convention: exact for 16-bit-PNG sources,
+  <=1/(2*scale) m quantization for float .npy sources, identical to
+  the default ``train_wire="auto"`` H2D path).
+- ``valid.u8``  — (N,) per-sample populated flags: the cache fills
+  lazily as the first epoch decodes, so there is no separate warmup
+  pass and a partially-built cache is always correct.
+
+The stored dtypes ARE the wire dtypes, so a cache hit is
+decode-AND-quantize-free; the f32 path converts on read.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Sequence, Tuple
+
+import numpy as np
+
+_MANIFEST = "manifest.json"
+
+
+def corpus_key(entries, size: Tuple[int, int], depth_scale: float) -> str:
+    """Fingerprint of the decode geometry + entry list."""
+    h = hashlib.sha1()
+    h.update(f"{size[0]}x{size[1]}@{depth_scale}".encode())
+    for e in entries:
+        h.update(" ".join(e).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+class DecodedSampleCache:
+    """Lazily-populated mmap cache of decoded (rgb_u8, depth_count)
+    samples at train resolution."""
+
+    def __init__(
+        self,
+        cache_dir: str,
+        n: int,
+        size: Tuple[int, int],
+        depth_scale: float,
+        key: str,
+    ):
+        self.dir = cache_dir
+        h, w = size
+        os.makedirs(cache_dir, exist_ok=True)
+        manifest = {
+            "n": n, "height": h, "width": w,
+            "depth_scale": depth_scale, "key": key,
+        }
+        mpath = os.path.join(cache_dir, _MANIFEST)
+        fresh = True
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as f:
+                    fresh = json.load(f) != manifest
+            except (OSError, ValueError):
+                fresh = True
+        mode = "w+" if fresh else "r+"
+        self.rgb = np.memmap(
+            os.path.join(cache_dir, "rgb.u8"), np.uint8, mode,
+            shape=(n, h, w, 3),
+        )
+        self.depth = np.memmap(
+            os.path.join(cache_dir, "depth.u16"), np.uint16, mode,
+            shape=(n, h, w),
+        )
+        self.valid = np.memmap(
+            os.path.join(cache_dir, "valid.u8"), np.uint8, mode, shape=(n,),
+        )
+        if fresh:
+            self.valid[:] = 0
+            with open(mpath, "w") as f:
+                json.dump(manifest, f)
+
+    def split_hits(self, idx: Sequence[int]):
+        """Partition batch indices into (hit_positions, miss_positions)
+        relative to the batch."""
+        flags = self.valid[np.asarray(idx)]
+        pos = np.arange(len(idx))
+        return pos[flags > 0], pos[flags == 0]
+
+    def read(self, idx: Sequence[int]):
+        """(B,H,W,3) uint8 + (B,H,W) uint16 copies for cached indices."""
+        a = np.asarray(idx)
+        return self.rgb[a], self.depth[a]
+
+    def write(self, idx: Sequence[int], rgb_u8: np.ndarray,
+              depth16: np.ndarray) -> None:
+        for j, i in enumerate(idx):
+            self.rgb[i] = rgb_u8[j]
+            self.depth[i] = depth16[j]
+        # flag last: a crash mid-write leaves the sample "missing", not
+        # half-written-but-trusted
+        self.valid[np.asarray(idx)] = 1

@@ -117,6 +117,7 @@ class KittiTrainDataset(SeekableLoaderMixin):
         loop: bool = True,
         use_native: bool = True,
         wire: str = "auto",
+        cache_dir: str = "",
     ):
         self.data_path = data_path
         self.entries = parse_list(os.path.join(data_path, list_file))
@@ -161,6 +162,20 @@ class KittiTrainDataset(SeekableLoaderMixin):
         # antialiased float RGB quantizes by <=1/510.
         self._wire = wire == "auto"
         self.wire_depth_scale = 256.0
+        # Decoded-sample cache (data/cache.py): epoch 1 decodes + fills,
+        # later epochs serve wire-dtype samples at memcpy speed.  The
+        # cached form IS the wire form (uint8 RGB / uint16 counts), so
+        # wire="auto" batches are bit-identical to uncached ones; the
+        # f32 path converts on read (RGB quantized <=1/510 vs the
+        # native decoder's float output — same delta as the wire path).
+        self._cache = None
+        if cache_dir:
+            from gdn_tpu.data.cache import DecodedSampleCache, corpus_key
+
+            self._cache = DecodedSampleCache(
+                cache_dir, len(self.entries), size, 256.0,
+                corpus_key(self.entries, size, 256.0),
+            )
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -170,7 +185,11 @@ class KittiTrainDataset(SeekableLoaderMixin):
         depth = load_depth(os.path.join(self.data_path, entry[1]), self.size)
         return rgb, depth
 
-    def _make_batch(self, idx) -> Dict[str, np.ndarray]:
+    def _decode_wire(self, idx) -> Tuple[np.ndarray, np.ndarray]:
+        """Canonical wire-dtype decode of the given entry indices:
+        (B,H,W,3) uint8 RGB + (B,H,W) uint16 /256-m depth counts
+        (exact for 16-bit-PNG sources; .npy float sources quantize by
+        <=1/512 m — the documented train_wire="auto" semantics)."""
         if self._native:
             from gdn_tpu.data import native_io
 
@@ -181,22 +200,59 @@ class KittiTrainDataset(SeekableLoaderMixin):
                 os.path.join(self.data_path, self.entries[i][1]) for i in idx
             ]
             rgb = native_io.decode_rgb_batch(rgb_paths, *self.size)
-            if self._wire:
-                rgb = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
-            depth = native_io.decode_depth_batch(d_paths, *self.size)[..., None]
+            rgb = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+            depth = native_io.decode_depth_batch(d_paths, *self.size)
         else:
             rgbs, depths = zip(*(self._load_pair(self.entries[i]) for i in idx))
             rgb = np.stack(rgbs)
-            if not self._wire:
-                rgb = rgb.astype(np.float32) / 255.0
-            depth = np.stack(depths)[..., None]
+            depth = np.stack(depths)
+        depth16 = np.clip(np.round(depth * 256.0), 0, 65535).astype(np.uint16)
+        return rgb, depth16
+
+    def _make_batch(self, idx) -> Dict[str, np.ndarray]:
+        idx = np.asarray(idx)
+        if self._cache is not None:
+            hit, miss = self._cache.split_hits(idx)
+            if len(miss) == 0:
+                rgb, depth16 = self._cache.read(idx)
+            else:
+                h, w = self.size
+                rgb = np.empty((len(idx), h, w, 3), np.uint8)
+                depth16 = np.empty((len(idx), h, w), np.uint16)
+                if len(hit):
+                    rgb[hit], depth16[hit] = self._cache.read(idx[hit])
+                mr, md = self._decode_wire(idx[miss])
+                rgb[miss], depth16[miss] = mr, md
+                self._cache.write(idx[miss], mr, md)
+            depth16 = depth16[..., None]
+            if self._wire:
+                return {"rgb": rgb, "depth": depth16}
+            depth = depth16.astype(np.float32) / 256.0
+            mask = ((depth > 0.0) & (depth < self.max_depth)).astype(
+                np.float32)
+            return {
+                "rgb": rgb.astype(np.float32) / 255.0,
+                "depth": np.clip(depth, 0.0, self.max_depth),
+                "mask": mask,
+            }
         if self._wire:
-            # round(d*256) uint16 counts: the 16-bit-PNG sources' own
-            # values (exact); .npy float sources quantize by <=1/512 m.
-            depth16 = np.clip(
-                np.round(depth * 256.0), 0, 65535
-            ).astype(np.uint16)
-            return {"rgb": rgb, "depth": depth16}
+            rgb, depth16 = self._decode_wire(idx)
+            return {"rgb": rgb, "depth": depth16[..., None]}
+        if self._native:
+            from gdn_tpu.data import native_io
+
+            rgb = native_io.decode_rgb_batch(
+                [os.path.join(self.data_path, self.entries[i][0])
+                 for i in idx], *self.size,
+            )
+            depth = native_io.decode_depth_batch(
+                [os.path.join(self.data_path, self.entries[i][1])
+                 for i in idx], *self.size,
+            )[..., None]
+        else:
+            rgbs, depths = zip(*(self._load_pair(self.entries[i]) for i in idx))
+            rgb = np.stack(rgbs).astype(np.float32) / 255.0
+            depth = np.stack(depths)[..., None]
         mask = ((depth > 0.0) & (depth < self.max_depth)).astype(np.float32)
         return {
             "rgb": rgb,

@@ -72,6 +72,7 @@ class NyuTrainDataset(SeekableLoaderMixin):
         max_depth: float = 10.0,
         loop: bool = True,
         wire: str = "auto",
+        cache_dir: str = "",
     ):
         self.data_path = data_path
         self.entries = parse_list(os.path.join(data_path, list_file))
@@ -89,11 +90,23 @@ class NyuTrainDataset(SeekableLoaderMixin):
         # so png-sourced depth rides losslessly (scale 1000).
         self._wire = wire == "auto"
         self.wire_depth_scale = 1000.0
+        # Decoded-sample cache (data/cache.py, see KittiTrainDataset):
+        # cached form = wire form (uint8 RGB / uint16 mm counts).
+        self._cache = None
+        if cache_dir:
+            from gdn_tpu.data.cache import DecodedSampleCache, corpus_key
+
+            self._cache = DecodedSampleCache(
+                cache_dir, len(self.entries), size, 1000.0,
+                corpus_key(self.entries, size, 1000.0),
+            )
 
     def __len__(self) -> int:
         return len(self.entries)
 
-    def _make_batch(self, idx) -> Dict[str, np.ndarray]:
+    def _decode_wire(self, idx):
+        """(B,H,W,3) uint8 RGB + (B,H,W) uint16 mm counts (exact for
+        NYU mm-PNG sources; float .npy quantizes by <=0.5 mm)."""
         from gdn_tpu.data.kitti import load_rgb_u8
 
         rgbs, depths = [], []
@@ -112,13 +125,61 @@ class NyuTrainDataset(SeekableLoaderMixin):
             depths.append(
                 load_nyu_depth(os.path.join(self.data_path, d_rel), self.size)
             )
-        rgb = np.stack(rgbs)
-        depth = np.stack(depths)[..., None]
+        depth16 = np.clip(
+            np.round(np.stack(depths) * 1000.0), 0, 65535
+        ).astype(np.uint16)
+        return np.stack(rgbs), depth16
+
+    def _make_batch(self, idx) -> Dict[str, np.ndarray]:
+        idx = np.asarray(idx)
+        if self._cache is not None:
+            hit, miss = self._cache.split_hits(idx)
+            if len(miss) == 0:
+                rgb, depth16 = self._cache.read(idx)
+            else:
+                h, w = self.size
+                rgb = np.empty((len(idx), h, w, 3), np.uint8)
+                depth16 = np.empty((len(idx), h, w), np.uint16)
+                if len(hit):
+                    rgb[hit], depth16[hit] = self._cache.read(idx[hit])
+                mr, md = self._decode_wire(idx[miss])
+                rgb[miss], depth16[miss] = mr, md
+                self._cache.write(idx[miss], mr, md)
+        elif self._wire:
+            rgb, depth16 = self._decode_wire(idx)
+            return {"rgb": rgb, "depth": depth16[..., None]}
+        else:
+            # Uncached f32 path: full-precision float depth (no mm
+            # quantization for .npy sources).
+            from gdn_tpu.data.kitti import load_rgb_u8
+
+            rgbs, depths = [], []
+            for i in idx:
+                rgb_rel, d_rel = self.entries[i][:2]
+                r = load_rgb_u8(os.path.join(self.data_path, rgb_rel))
+                r = center_crop_nyu(r)
+                if r.shape[:2] != self.size:
+                    r = np.asarray(
+                        Image.fromarray(r).resize(
+                            (self.size[1], self.size[0]), Image.BILINEAR
+                        ),
+                        dtype=np.uint8,
+                    )
+                rgbs.append(r)
+                depths.append(load_nyu_depth(
+                    os.path.join(self.data_path, d_rel), self.size))
+            depth = np.stack(depths)[..., None]
+            mask = ((depth > 0.0) & (depth < self.max_depth)).astype(
+                np.float32)
+            return {
+                "rgb": np.stack(rgbs).astype(np.float32) / 255.0,
+                "depth": np.clip(depth, 0.0, self.max_depth),
+                "mask": mask,
+            }
+        depth16 = depth16[..., None]
         if self._wire:
-            depth16 = np.clip(
-                np.round(depth * 1000.0), 0, 65535
-            ).astype(np.uint16)
             return {"rgb": rgb, "depth": depth16}
+        depth = depth16.astype(np.float32) / 1000.0
         mask = ((depth > 0.0) & (depth < self.max_depth)).astype(np.float32)
         return {
             "rgb": rgb.astype(np.float32) / 255.0,

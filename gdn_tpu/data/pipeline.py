@@ -149,6 +149,11 @@ def make_loader(cfg: Config, split: str = "train"):
 
         if split == "train":
             if d.loader == "grain":
+                if d.decode_cache:
+                    raise ValueError(
+                        "--decode_cache supports the native loader only "
+                        "(grain owns its own worker-side transform chain)"
+                    )
                 from gdn_tpu.data.grain_loader import GrainKittiDataset
 
                 # grain_workers=0 (in-process) is the 1-CPU-container
@@ -162,7 +167,7 @@ def make_loader(cfg: Config, split: str = "train"):
             return KittiTrainDataset(
                 d.data_path, d.train_list, (h, w), d.batch_size,
                 seed=cfg.train.seed, max_depth=cfg.model.max_depth,
-                wire=d.train_wire,
+                wire=d.train_wire, cache_dir=d.decode_cache,
             )
         return KittiEvalDataset(
             d.data_path, d.val_list, (h, w),
@@ -173,6 +178,11 @@ def make_loader(cfg: Config, split: str = "train"):
 
         if split == "train":
             if d.loader == "grain":
+                if d.decode_cache:
+                    raise ValueError(
+                        "--decode_cache supports the native loader only "
+                        "(grain owns its own worker-side transform chain)"
+                    )
                 from gdn_tpu.data.grain_loader import GrainKittiDataset
 
                 return GrainKittiDataset(
@@ -184,7 +194,7 @@ def make_loader(cfg: Config, split: str = "train"):
             return NyuTrainDataset(
                 d.data_path, d.train_list, (h, w), d.batch_size,
                 seed=cfg.train.seed, max_depth=cfg.model.max_depth,
-                wire=d.train_wire,
+                wire=d.train_wire, cache_dir=d.decode_cache,
             )
         return NyuEvalDataset(d.data_path, d.val_list, (h, w))
     raise ValueError(f"unknown dataset {d.dataset!r}")

@@ -833,3 +833,70 @@ def test_grain_multiprocess_resume_equality(kitti_fixture):
     multi = mk(2)
     with pytest.raises(NotImplementedError):
         multi.seek(2)
+
+
+def test_decode_cache_bit_identical_and_persistent(kitti_fixture, tmp_path):
+    """Decoded-sample cache (data/cache.py): cached batches are
+    bit-identical to the uncached wire path, a second pass is served
+    entirely from the cache (decode not called), and a reopened dataset
+    reuses the on-disk cache."""
+    from unittest import mock
+
+    cache = str(tmp_path / "cache")
+
+    def mk(**kw):
+        return KittiTrainDataset(
+            kitti_fixture, "train.txt", (128, 416), batch_size=3,
+            loop=False, shuffle=False, **kw,
+        )
+
+    plain = list(mk(wire="auto"))
+    ds = mk(wire="auto", cache_dir=cache)
+    first = list(ds)
+    for a, b in zip(plain, first):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    # epoch 2: pure cache hits — the decode path must not run
+    with mock.patch.object(
+        KittiTrainDataset, "_decode_wire",
+        side_effect=AssertionError("cache miss on a populated cache"),
+    ):
+        second = list(mk(wire="auto", cache_dir=cache))  # reopened
+    for a, b in zip(plain, second):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    # f32 view from the cached counts matches the wire->f32 contract
+    f32 = next(iter(mk(wire="f32", cache_dir=cache)))
+    np.testing.assert_allclose(
+        f32["rgb"], first[0]["rgb"].astype(np.float32) / 255.0)
+    np.testing.assert_allclose(
+        f32["depth"],
+        np.clip(first[0]["depth"].astype(np.float32) / 256.0, 0, 80.0))
+
+
+def test_decode_cache_stale_manifest_rebuilds(kitti_fixture, tmp_path):
+    """A cache built for a different geometry is detected by the
+    manifest key and rebuilt, never silently served."""
+    cache = str(tmp_path / "cache")
+    ds_a = KittiTrainDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=3,
+        loop=False, shuffle=False, cache_dir=cache,
+    )
+    list(ds_a)  # populate at 128x416
+    # same dir, different size -> must rebuild, and serve correct shapes
+    ds_b = KittiTrainDataset(
+        kitti_fixture, "train.txt", (64, 208), batch_size=3,
+        loop=False, shuffle=False, cache_dir=cache,
+    )
+    b = next(iter(ds_b))
+    assert b["rgb"].shape == (3, 64, 208, 3)
+    assert b["depth"].shape == (3, 64, 208, 1)
+    # uncached reference at the new size agrees
+    ref = next(iter(KittiTrainDataset(
+        kitti_fixture, "train.txt", (64, 208), batch_size=3,
+        loop=False, shuffle=False,
+    )))
+    for k in ref:
+        np.testing.assert_array_equal(ref[k], b[k])
