@@ -95,6 +95,10 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                         "(data/cache.py): epoch 1 decodes + persists "
                         "wire-dtype samples; later epochs read memmaps "
                         "at memcpy speed (native loader only)")
+    p.add_argument("--device_cache", action="store_true",
+                   help="keep the decoded wire corpus resident in HBM "
+                        "and gather batches on device (data/"
+                        "device_cache.py; small corpora only)")
     p.add_argument("--train_wire", choices=["auto", "f32"], default="auto",
                    help="training-input H2D wire: auto ships uint8 RGB "
                         "+ uint16 depth counts and decodes on device "
@@ -310,6 +314,7 @@ def build_config(args: argparse.Namespace) -> Config:
             "data.grain_workers": args.workers,
             "data.train_wire": args.train_wire,
             "data.decode_cache": args.decode_cache,
+            "data.device_cache": args.device_cache,
             "train.freeze_decoder": not args.no_freeze_decoder,
             "train.log_every": args.log_every,
             "mesh.num_devices": args.num_devices,

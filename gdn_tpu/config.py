@@ -270,6 +270,14 @@ class DataConfig:
     # (kitti/nyu); "" disables.  Measured on the 1-CPU container:
     # 168 -> >1000 host imgs/sec (BASELINE.md round 4).
     decode_cache: str = ""
+    # Device-resident dataset cache (data/device_cache.py): decode the
+    # whole corpus once, upload the wire-dtype tensors to HBM once, and
+    # serve every batch as a device-side gather — per-step H2D shrinks
+    # to the (B,) index array.  For corpora that fit the 2 GiB resident
+    # gate (e.g. 1500 KITTI-shaped pairs = 400 MB); identical sample
+    # order/seek semantics to the wrapped loader.  Measured: removes
+    # the tunnel-H2D pipeline ceiling entirely (BASELINE.md round 4).
+    device_cache: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,114 @@
+"""Device-resident dataset cache: the corpus lives in HBM, batches are
+device-side gathers, and per-step host->device traffic shrinks to the
+index array.
+
+Motivation (BASELINE.md round 4, "disk-fed pipeline"): with the host
+decode cache in place, disk-fed training is H2D-bound — each B=128
+wire batch is 34.1 MB, and on the remote-TPU tunnel (4-51 MB/s) that
+caps the pipeline at ~155 imgs/sec against a 2165 imgs/sec chip.  Small
+corpora fit HBM outright (1500 KITTI-shaped pairs = 400 MB of wire
+dtypes against 16 GB), so the TPU-native fix is to upload the decoded
+wire corpus ONCE and slice batches on device: the gather is
+HBM-bandwidth work (~34 MB/step, >100 GB/s), and the only per-step
+upload is (B,) int32 indices.
+
+Semantics are EXACTLY the wrapped loader's: same shuffle order (the
+wrapper drives the loader's own SeekableLoaderMixin index machinery),
+same seek() resume contract, same wire dtypes (the resident arrays are
+the loader's `_decode_wire` output), same padded-tail handling
+(loop=False tails zero their depth counts, so the on-device mask
+derivation excludes them).
+
+Memory gate: ``fits`` estimates the resident bytes; callers refuse
+corpora beyond ``max_bytes`` (default 2 GB — generous headroom next to
+model + optimizer + activations on a 16 GB chip) rather than OOM-ing
+mid-train.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def resident_bytes(n: int, h: int, w: int) -> int:
+    """uint8 RGB + uint16 depth counts per sample."""
+    return n * (h * w * 3 + h * w * 2)
+
+
+class DeviceResidentDataset:
+    """Wraps a wire-format train loader (KittiTrainDataset /
+    NyuTrainDataset) into a device-resident iterator."""
+
+    def __init__(self, loader, mesh=None, max_bytes: int = 2 << 30):
+        n = len(loader.entries)
+        h, w = loader.size
+        need = resident_bytes(n, h, w)
+        if need > max_bytes:
+            raise ValueError(
+                f"device_cache: corpus needs {need / 2**30:.2f} GiB resident "
+                f"(> {max_bytes / 2**30:.2f} GiB gate) — use --decode_cache "
+                "(host mmap) for corpora that exceed HBM headroom"
+            )
+        if not getattr(loader, "_wire", False):
+            raise ValueError(
+                "device_cache requires the wire-format loader path "
+                "(train_wire='auto')"
+            )
+        self._loader = loader
+        self.wire_depth_scale = loader.wire_depth_scale
+        self.batch_size = loader.batch_size
+
+        # Decode the whole corpus once (rides the host decode cache when
+        # one is configured) and upload it in ONE transfer per tensor.
+        rgb = np.empty((n, h, w, 3), np.uint8)
+        depth = np.empty((n, h, w), np.uint16)
+        step = max(1, loader.batch_size)
+        for s in range(0, n, step):
+            idx = np.arange(s, min(s + step, n))
+            rgb[idx], depth[idx] = loader._decode_wire(idx)
+
+        if mesh is not None:
+            from gdn_tpu.parallel.mesh import batch_sharding, replicated
+
+            rep = replicated(mesh)
+            self._out = batch_sharding(mesh)
+            self.rgb = jax.device_put(rgb, rep)
+            self.depth = jax.device_put(depth, rep)
+        else:
+            self._out = None
+            self.rgb = jax.device_put(rgb)
+            self.depth = jax.device_put(depth)
+
+        def gather(r, d, i, n_pad):
+            b = {"rgb": r[i], "depth": d[i][..., None]}
+            if n_pad:
+                # zeroed counts decode to mask=0 on device (the wire
+                # loaders' own padded-tail convention)
+                keep = (jnp.arange(i.shape[0]) < i.shape[0] - n_pad)
+                b["depth"] = b["depth"] * keep[:, None, None, None].astype(
+                    b["depth"].dtype)
+            return b
+
+        kw = {"out_shardings": self._out} if self._out is not None else {}
+        self._gather = jax.jit(gather, static_argnums=(3,), **kw)
+
+    def __len__(self) -> int:
+        return len(self._loader.entries)
+
+    def seek(self, n_batches: int) -> None:
+        self._loader.seek(n_batches)
+
+    def __iter__(self) -> Iterator[Dict[str, jnp.ndarray]]:
+        ld = self._loader
+        skip, ld._skip = ld._skip, 0
+        for idx, n_pad in ld._index_iter():
+            if skip:
+                skip -= 1
+                continue
+            yield self._gather(
+                self.rgb, self.depth, jnp.asarray(idx, jnp.int32), n_pad
+            )

@@ -60,6 +60,13 @@ def main():
     mesh = create_mesh(cfg.mesh.num_devices, spatial=cfg.mesh.spatial_devices)
     loader = make_loader(cfg, "train")
     augment = cfg.data.dataset != "synthetic"
+    if cfg.data.device_cache and augment:
+        if cfg.data.loader != "native":
+            raise ValueError("--device_cache requires --loader native")
+        from gdn_tpu.data.device_cache import DeviceResidentDataset
+
+        loader = DeviceResidentDataset(loader, mesh)
+        print(f"device_cache: {len(loader)} samples resident in HBM")
 
     stage_subdir = "stage1" if args.mode == "DtoD" else "stage2"
     resume_dir = f"{cfg.train.ckpt_dir}/{stage_subdir}"

@@ -900,3 +900,54 @@ def test_decode_cache_stale_manifest_rebuilds(kitti_fixture, tmp_path):
     )))
     for k in ref:
         np.testing.assert_array_equal(ref[k], b[k])
+
+
+def test_device_cache_matches_host_loader(kitti_fixture):
+    """DeviceResidentDataset yields the SAME batch stream as the host
+    loader it wraps — same shuffle order, same wire payloads, same
+    padded-tail masking, working seek()."""
+    from gdn_tpu.data.device_cache import DeviceResidentDataset
+
+    def mk():
+        return KittiTrainDataset(
+            kitti_fixture, "train.txt", (128, 416), batch_size=4,
+            loop=False, shuffle=True, seed=3,
+        )
+
+    host = list(mk())
+    dev = DeviceResidentDataset(mk())
+    got = list(dev)
+    assert len(got) == len(host)
+    for a, b in zip(host, got):
+        for k in a:
+            np.testing.assert_array_equal(a[k], np.asarray(b[k]))
+
+    # seek(1): skips exactly the first batch of a fresh epoch sequence
+    dev.seek(1)
+    resumed = list(dev)
+    # host loader replay for comparison
+    h2 = mk(); h2.seek(1)
+    host2 = list(h2)
+    assert len(resumed) == len(host2)
+    for a, b in zip(host2, resumed):
+        for k in a:
+            np.testing.assert_array_equal(a[k], np.asarray(b[k]))
+
+
+def test_device_cache_memory_gate():
+    """Corpora beyond the resident-bytes gate are refused loudly."""
+    from gdn_tpu.data.device_cache import resident_bytes
+
+    n, h, w = 40000, 128, 416
+    assert resident_bytes(n, h, w) > 2 << 30  # real KITTI would exceed
+
+
+def test_device_cache_rejects_f32_loader(kitti_fixture):
+    from gdn_tpu.data.device_cache import DeviceResidentDataset
+
+    ds = KittiTrainDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=4,
+        loop=False, wire="f32",
+    )
+    with pytest.raises(ValueError, match="wire"):
+        DeviceResidentDataset(ds)
