@@ -38,3 +38,23 @@ def _check_devices():
         "tests expect 8 virtual CPU devices; got "
         f"{jax.device_count()} ({jax.devices()})"
     )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark measured-slow tests (call time >= 15 s on the 1-CPU
+    container, tests/slow_tests.json — regenerate from a full-suite
+    `--durations=0` log) so the pre-commit fast suite
+    `pytest -m "not slow"` stays cheap enough to run before every
+    commit (CLAUDE.md).  Explicit @pytest.mark.slow marks still apply.
+    """
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.json")
+    try:
+        with open(path) as f:
+            slow = set(json.load(f))
+    except (OSError, ValueError):
+        return
+    for item in items:
+        if item.nodeid in slow:
+            item.add_marker(pytest.mark.slow)
