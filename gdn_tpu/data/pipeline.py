@@ -121,6 +121,53 @@ def make_train_pipeline(
         yield batch
 
 
+class CachedSampleIterable:
+    """Host-side memoization of a (re-)iterable sample stream.
+
+    In-training evaluation (``--eval_every``) re-reads the SAME eval
+    split every few epochs; for disk-backed splits that re-pays the
+    full decode each time.  This wrapper materializes the samples on
+    the first pass (up to ``max_bytes`` — oversized splits fall back to
+    re-iteration, never OOM the host) and replays the cached list on
+    every later pass.  ``max_items`` bounds the pass itself (mirrors
+    evaluate()'s ``max_images`` so no unused tail is decoded or held).
+    """
+
+    def __init__(self, factory, max_items: Optional[int] = None,
+                 max_bytes: int = 1 << 30):
+        self._factory = factory
+        self._max_items = max_items
+        self._max_bytes = max_bytes
+        self._samples: Optional[list] = None
+        self._too_big = False
+
+    def __call__(self) -> Iterator[Dict[str, Any]]:
+        if self._samples is not None:
+            return iter(self._samples)
+        if self._too_big:
+            return iter(self._factory())
+        return self._fill()
+
+    def _fill(self) -> Iterator[Dict[str, Any]]:
+        acc: list = []
+        nbytes = 0
+        for i, s in enumerate(self._factory()):
+            if self._max_items is not None and i >= self._max_items:
+                break
+            if acc is not None:
+                nbytes += sum(
+                    getattr(v, "nbytes", 0) for v in s.values()
+                )
+                if nbytes > self._max_bytes:
+                    self._too_big = True
+                    acc = None
+                else:
+                    acc.append(s)
+            yield s
+        if acc is not None:
+            self._samples = acc
+
+
 def make_loader(cfg: Config, split: str = "train"):
     """Construct the host loader named by cfg.data.dataset (the
     reference's --dataset flag surface, SURVEY.md §2.13)."""

@@ -172,7 +172,16 @@ def main():
         if args.eval_every:
             # synthetic included: data/synthetic.SyntheticEvalDataset
             # provides a bounded eval split without data on disk.
-            eval_dataset = lambda: iter(make_loader(cfg, "eval"))
+            # CachedSampleIterable memoizes the decoded split host-side
+            # so every eval_every epoch after the first replays arrays
+            # instead of re-decoding the disk (1 GiB cap, bounded by
+            # --eval_max_images).
+            from gdn_tpu.data.pipeline import CachedSampleIterable
+
+            eval_dataset = CachedSampleIterable(
+                lambda: iter(make_loader(cfg, "eval")),
+                max_items=args.eval_max_images,
+            )
         state = train_stage2(
             cfg, build_pipeline(int(state.step) if state is not None else 0),
             d_params, state=state, logger=logger,

@@ -951,3 +951,27 @@ def test_device_cache_rejects_f32_loader(kitti_fixture):
     )
     with pytest.raises(ValueError, match="wire"):
         DeviceResidentDataset(ds)
+
+
+def test_cached_sample_iterable_replays_and_caps():
+    from gdn_tpu.data.pipeline import CachedSampleIterable
+
+    calls = []
+
+    def factory():
+        calls.append(1)
+        for i in range(5):
+            yield {"x": np.full((4,), i, np.float32)}
+
+    it = CachedSampleIterable(factory, max_items=3)
+    first = [s["x"][0] for s in it()]
+    assert first == [0, 1, 2]  # max_items bound
+    second = [s["x"][0] for s in it()]
+    assert second == first
+    assert len(calls) == 1  # second pass served from the cache
+
+    # byte cap: oversized stream falls back to re-iteration
+    big = CachedSampleIterable(factory, max_bytes=8)
+    list(big()); n0 = len(calls)
+    list(big())
+    assert len(calls) == n0 + 1  # factory re-ran (not cached)
