@@ -181,6 +181,17 @@ def config_from_dict(payload: Dict[str, Any]):
     return build(config_mod.Config, payload)
 
 
+def _is_composite_layout(ckpt_dir: str, step: int) -> bool:
+    """Round-4+ checkpoints save Composite(state=..., config=...) — a
+    "state" item directory under the step dir.  Pre-round-4 layouts
+    saved one unnamed StandardSave item (no item subdirs).  Probing the
+    layout structurally (instead of catching ValueError from a failed
+    composite restore) keeps REAL restore errors — e.g. the param-shape
+    mismatch from a contradicting --upsample flag — from being masked
+    by a second, misleading legacy-restore attempt."""
+    return os.path.isdir(os.path.join(ckpt_dir, str(step), "state"))
+
+
 def restore_checkpoint(
     ckpt_dir: str, state: Any, step: Optional[int] = None
 ) -> Any:
@@ -201,12 +212,12 @@ def restore_checkpoint(
         # EMA rides the payload iff the run tracks it (TrainConfig.
         # ema_decay); pre-EMA checkpoints restore with ema=None intact.
         template["ema_params"] = state.ema_params
-    try:
+    if _is_composite_layout(ckpt_dir, step):
         restored = mgr.restore(
             step,
             args=ocp.args.Composite(state=ocp.args.StandardRestore(template)),
         )["state"]
-    except ValueError:
+    else:
         # pre-round-4 layout: a single unnamed StandardSave item (no
         # Composite wrapper).  A fresh manager kind avoids mixing the
         # composite item-handler bindings with the legacy restore.
@@ -241,14 +252,14 @@ def load_params(
     step = step if step is not None else mgr.latest_step()
     if step is None:
         raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
-    try:
+    if _is_composite_layout(ckpt_dir, step):
         restored = mgr.restore(
             step,
             args=ocp.args.Composite(state=ocp.args.PyTreeRestore(
                 {key: params_template}, partial_restore=True
             )),
         )["state"]
-    except ValueError:  # pre-round-4 single-item layout
+    else:  # pre-round-4 single-item layout
         legacy = _manager(ckpt_dir, kind="pytree_legacy")
         legacy.reload()
         restored = legacy.restore(

@@ -222,6 +222,20 @@ def apply_saved_model_config(cfg: Config, args: argparse.Namespace,
     if saved is None:
         return cfg
     model = saved.model
+    # Adopt ARCHITECTURE only.  Execution-strategy fields (kernel
+    # backends, custom VJPs, composed execution, compute dtype) change
+    # no parameter and belong to the CURRENT environment — adopting
+    # them would e.g. pin a checkpoint trained with --no_pallas (CPU
+    # smoke run) to the XLA fallback forever, with no CLI way back.
+    execution_fields = {
+        "gn_impl", "gn_analytic_vjp", "resize_conv_composed",
+        "elu_outform_vjp", "dtype", "use_pallas", "use_pallas_fusion",
+        "use_pallas_gn", "use_pallas_convgn", "use_pallas_convgn_bt",
+        "convgn_bt_tile", "use_pallas_convgn_s2", "use_pallas_fusion_bt",
+    }
+    model = dataclasses.replace(model, **{
+        f: getattr(cfg.model, f) for f in execution_fields
+    })
     # Re-apply explicit CLI architecture overrides on top of the saved
     # config (None/False defaults mean "not given").
     overrides = {}
@@ -240,8 +254,6 @@ def apply_saved_model_config(cfg: Config, args: argparse.Namespace,
             overrides[field] = v
     if getattr(args, "multiscale", False):
         overrides["multiscale_heads"] = True
-    if getattr(args, "no_pallas", False):
-        overrides["use_pallas"] = False
     for field, v in overrides.items():
         if getattr(model, field) != v:
             print(

@@ -77,6 +77,17 @@ class DecodedSampleCache:
                     fresh = json.load(f) != manifest
             except (OSError, ValueError):
                 fresh = True
+        if not fresh:
+            # the manifest alone isn't proof: deleted/truncated array
+            # files behind a surviving manifest must rebuild, not crash
+            # np.memmap(mode="r+") at construction
+            sizes = {"rgb.u8": n * h * w * 3, "depth.u16": n * h * w * 2,
+                     "valid.u8": n}
+            for fname, want in sizes.items():
+                fp = os.path.join(cache_dir, fname)
+                if not os.path.exists(fp) or os.path.getsize(fp) < want:
+                    fresh = True
+                    break
         mode = "w+" if fresh else "r+"
         self.rgb = np.memmap(
             os.path.join(cache_dir, "rgb.u8"), np.uint8, mode,

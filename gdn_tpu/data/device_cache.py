@@ -62,14 +62,26 @@ class DeviceResidentDataset:
         self.wire_depth_scale = loader.wire_depth_scale
         self.batch_size = loader.batch_size
 
-        # Decode the whole corpus once (rides the host decode cache when
-        # one is configured) and upload it in ONE transfer per tensor.
+        # Decode the whole corpus once — THROUGH the host decode cache
+        # when one is configured (warm mmaps skip the PNG decode, and
+        # misses decoded here warm it for later runs) — then upload it
+        # in ONE transfer per tensor.
         rgb = np.empty((n, h, w, 3), np.uint8)
         depth = np.empty((n, h, w), np.uint16)
+        host_cache = getattr(loader, "_cache", None)
         step = max(1, loader.batch_size)
         for s in range(0, n, step):
             idx = np.arange(s, min(s + step, n))
-            rgb[idx], depth[idx] = loader._decode_wire(idx)
+            if host_cache is not None:
+                hit, miss = host_cache.split_hits(idx)
+                if len(hit):
+                    rgb[idx[hit]], depth[idx[hit]] = host_cache.read(idx[hit])
+                if len(miss):
+                    mr, md = loader._decode_wire(idx[miss])
+                    rgb[idx[miss]], depth[idx[miss]] = mr, md
+                    host_cache.write(idx[miss], mr, md)
+            else:
+                rgb[idx], depth[idx] = loader._decode_wire(idx)
 
         if mesh is not None:
             from gdn_tpu.parallel.mesh import batch_sharding, replicated

@@ -22,6 +22,7 @@ from __future__ import annotations
 import collections
 import json
 import os
+import threading
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np
@@ -175,6 +176,9 @@ class GrainKittiDataset:
         # returns the state matching the trainer's actual position.
         self._produced = 0
         self._state_log: collections.deque = collections.deque(maxlen=64)
+        # The producer (prefetch thread) appends while the trainer
+        # thread reads state_dict_at at checkpoint time — guard both.
+        self._state_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self._source)
@@ -200,11 +204,12 @@ class GrainKittiDataset:
         step count, which counts data batches consumed).  Works for any
         worker_count: grain's get_state captures the multiprocess
         cursor, unlike seek() (single index stream only)."""
-        if consumed == self._produced and not self._state_log:
-            return self.state_dict()  # nothing produced since positioning
-        for n, s in self._state_log:
-            if n == consumed:
-                return s
+        with self._state_lock:
+            if consumed == self._produced and not self._state_log:
+                return self.state_dict()  # nothing produced since position
+            for n, s in self._state_log:
+                if n == consumed:
+                    return s.decode() if isinstance(s, bytes) else s
         raise ValueError(
             f"no recorded loader state for batch {consumed} "
             f"(produced={self._produced}, log window="
@@ -219,7 +224,8 @@ class GrainKittiDataset:
         line up with the trainer's absolute step count."""
         self._iterator().set_state(state.encode())
         self._produced = produced
-        self._state_log.clear()
+        with self._state_lock:
+            self._state_log.clear()
 
     def seek(self, n_batches: int) -> None:
         """Shared resume contract (SeekableLoaderMixin): position the
@@ -240,7 +246,8 @@ class GrainKittiDataset:
         obj["last_seen_indices"][key] = n_batches * self.batch_size - 1
         self._iterator().set_state(json.dumps(obj).encode())
         self._produced = n_batches
-        self._state_log.clear()
+        with self._state_lock:
+            self._state_log.clear()
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         it = self._iterator()
@@ -250,7 +257,11 @@ class GrainKittiDataset:
             except StopIteration:
                 return
             self._produced += 1
-            self._state_log.append((self._produced, it.get_state().decode()))
+            # raw bytes: get_state() is paid per batch (the checkpoint
+            # may ask for ANY recent batch), but the str decode is
+            # deferred to the once-per-epoch state_dict_at read
+            with self._state_lock:
+                self._state_log.append((self._produced, it.get_state()))
             yield batch
 
 

@@ -104,9 +104,11 @@ class NyuTrainDataset(SeekableLoaderMixin):
     def __len__(self) -> int:
         return len(self.entries)
 
-    def _decode_wire(self, idx):
-        """(B,H,W,3) uint8 RGB + (B,H,W) uint16 mm counts (exact for
-        NYU mm-PNG sources; float .npy quantizes by <=0.5 mm)."""
+    def _decode_raw(self, idx):
+        """Shared per-entry decode: (B,H,W,3) uint8 RGB (cropped +
+        resized) and (B,H,W) float32 depth meters — the single place
+        the NYU crop/resize geometry lives (wire and f32 paths both
+        consume it)."""
         from gdn_tpu.data.kitti import load_rgb_u8
 
         rgbs, depths = [], []
@@ -125,10 +127,16 @@ class NyuTrainDataset(SeekableLoaderMixin):
             depths.append(
                 load_nyu_depth(os.path.join(self.data_path, d_rel), self.size)
             )
+        return np.stack(rgbs), np.stack(depths)
+
+    def _decode_wire(self, idx):
+        """(B,H,W,3) uint8 RGB + (B,H,W) uint16 mm counts (exact for
+        NYU mm-PNG sources; float .npy quantizes by <=0.5 mm)."""
+        rgb, depth = self._decode_raw(idx)
         depth16 = np.clip(
-            np.round(np.stack(depths) * 1000.0), 0, 65535
+            np.round(depth * 1000.0), 0, 65535
         ).astype(np.uint16)
-        return np.stack(rgbs), depth16
+        return rgb, depth16
 
     def _make_batch(self, idx) -> Dict[str, np.ndarray]:
         idx = np.asarray(idx)
@@ -151,28 +159,12 @@ class NyuTrainDataset(SeekableLoaderMixin):
         else:
             # Uncached f32 path: full-precision float depth (no mm
             # quantization for .npy sources).
-            from gdn_tpu.data.kitti import load_rgb_u8
-
-            rgbs, depths = [], []
-            for i in idx:
-                rgb_rel, d_rel = self.entries[i][:2]
-                r = load_rgb_u8(os.path.join(self.data_path, rgb_rel))
-                r = center_crop_nyu(r)
-                if r.shape[:2] != self.size:
-                    r = np.asarray(
-                        Image.fromarray(r).resize(
-                            (self.size[1], self.size[0]), Image.BILINEAR
-                        ),
-                        dtype=np.uint8,
-                    )
-                rgbs.append(r)
-                depths.append(load_nyu_depth(
-                    os.path.join(self.data_path, d_rel), self.size))
-            depth = np.stack(depths)[..., None]
+            rgb, depth = self._decode_raw(idx)
+            depth = depth[..., None]
             mask = ((depth > 0.0) & (depth < self.max_depth)).astype(
                 np.float32)
             return {
-                "rgb": np.stack(rgbs).astype(np.float32) / 255.0,
+                "rgb": rgb.astype(np.float32) / 255.0,
                 "depth": np.clip(depth, 0.0, self.max_depth),
                 "mask": mask,
             }

@@ -152,3 +152,33 @@ def test_config_from_dict_ignores_unknown_keys(tmp_path, capsys):
         json.dump(payload, f)
     assert load_config(d) == kitti_config()
     assert "knob_from_the_future" in capsys.readouterr().out
+
+
+def test_saved_config_adopts_architecture_not_execution(tmp_path):
+    """Execution-strategy fields (kernel backends, composed execution,
+    compute dtype) must come from the CURRENT environment, not the
+    checkpoint: a model trained with --no_pallas on CPU must not pin
+    later TPU evals to the XLA fallback."""
+    from gdn_tpu.checkpoint import save_config
+    from gdn_tpu.cli import apply_saved_model_config
+    from gdn_tpu.config import kitti_config
+
+    trained = kitti_config(**{
+        "model.enc_channels": (8, 16),
+        "model.dec_channels": (16, 8),
+        "model.use_pallas": False,          # CPU smoke-run environment
+        "model.resize_conv_composed": False,
+        "model.dtype": "float32",
+    })
+    d = str(tmp_path / "ck" / "stage2")
+    save_config(d, trained)
+
+    env = kitti_config()  # TPU defaults: pallas on, composed on, bf16
+    cfg = apply_saved_model_config(env, _parse([]), d)
+    # architecture adopted from the checkpoint
+    assert cfg.model.enc_channels == (8, 16)
+    assert cfg.model.dec_channels == (16, 8)
+    # execution strategy stays the environment's
+    assert cfg.model.use_pallas == env.model.use_pallas
+    assert cfg.model.resize_conv_composed == env.model.resize_conv_composed
+    assert cfg.model.dtype == env.model.dtype

@@ -975,3 +975,51 @@ def test_cached_sample_iterable_replays_and_caps():
     list(big()); n0 = len(calls)
     list(big())
     assert len(calls) == n0 + 1  # factory re-ran (not cached)
+
+
+def test_decode_cache_truncated_files_rebuild(kitti_fixture, tmp_path):
+    """A surviving manifest with deleted/truncated array files must
+    rebuild, not crash np.memmap at construction."""
+    import os
+
+    cache = str(tmp_path / "cache")
+
+    def mk():
+        return KittiTrainDataset(
+            kitti_fixture, "train.txt", (128, 416), batch_size=3,
+            loop=False, shuffle=False, cache_dir=cache,
+        )
+
+    ref = list(mk())
+    os.remove(os.path.join(cache, "rgb.u8"))  # manifest survives
+    again = list(mk())
+    for a, b in zip(ref, again):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_device_cache_rides_host_decode_cache(kitti_fixture, tmp_path):
+    """With a warm --decode_cache, DeviceResidentDataset must read the
+    mmaps instead of re-decoding PNGs (and fill misses into it)."""
+    from unittest import mock
+
+    from gdn_tpu.data.device_cache import DeviceResidentDataset
+
+    cache = str(tmp_path / "cache")
+
+    def mk():
+        return KittiTrainDataset(
+            kitti_fixture, "train.txt", (128, 416), batch_size=3,
+            loop=False, shuffle=False, cache_dir=cache,
+        )
+
+    ref = list(mk())  # warms the host cache
+    with mock.patch.object(
+        KittiTrainDataset, "_decode_wire",
+        side_effect=AssertionError("device cache bypassed the warm host cache"),
+    ):
+        dev = DeviceResidentDataset(mk())
+    got = list(dev)
+    for a, b in zip(ref, got):
+        for k in a:
+            np.testing.assert_array_equal(a[k], np.asarray(b[k]))

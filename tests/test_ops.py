@@ -299,9 +299,11 @@ def test_composed_resize_conv_model_equivalence(rng):
     from gdn_tpu.config import ModelConfig
     from gdn_tpu.models import RtoDNet
 
+    # base must EXPLICITLY disable the flag — it defaults to True, so
+    # relying on the default would compare the composed path to itself.
     base = ModelConfig(
         image_size=(32, 64), enc_channels=(8, 16), dec_channels=(16, 8),
-        dtype="float32", use_pallas=False,
+        dtype="float32", use_pallas=False, resize_conv_composed=False,
     )
     on = dataclasses.replace(base, resize_conv_composed=True)
     x = jnp.asarray(rng.normal(size=(2, 32, 64, 3)).astype(np.float32))
