@@ -99,6 +99,11 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                    help="keep the decoded wire corpus resident in HBM "
                         "and gather batches on device (data/"
                         "device_cache.py; small corpora only)")
+    p.add_argument("--device_cache_sharded", action="store_true",
+                   help="shard the device-resident corpus over the "
+                        "mesh's data axis (each chip holds 1/D, local "
+                        "gathers; lifts the HBM gate by the mesh size; "
+                        "per-shard sample order)")
     p.add_argument("--train_wire", choices=["auto", "f32"], default="auto",
                    help="training-input H2D wire: auto ships uint8 RGB "
                         "+ uint16 depth counts and decodes on device "
@@ -327,6 +332,7 @@ def build_config(args: argparse.Namespace) -> Config:
             "data.train_wire": args.train_wire,
             "data.decode_cache": args.decode_cache,
             "data.device_cache": args.device_cache,
+            "data.device_cache_sharded": args.device_cache_sharded,
             "train.freeze_decoder": not args.no_freeze_decoder,
             "train.log_every": args.log_every,
             "mesh.num_devices": args.num_devices,

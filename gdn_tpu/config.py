@@ -278,6 +278,14 @@ class DataConfig:
     # order/seek semantics to the wrapped loader.  Measured: removes
     # the tunnel-H2D pipeline ceiling entirely (BASELINE.md round 4).
     device_cache: bool = False
+    # Shard the device-resident corpus over the mesh's data axis
+    # (data/device_cache.py::ShardedDeviceDataset): each device holds
+    # 1/D of the corpus and gathers its batch shard locally via
+    # shard_map, so the resident gate scales with the mesh (real KITTI
+    # ~40k pairs = 10.6 GiB fits at D>=6 where the replicated cache
+    # refuses).  Sample order becomes per-shard (multihost-pipeline
+    # semantics); requires a 1-D data mesh.
+    device_cache_sharded: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,10 +63,19 @@ def main():
     if cfg.data.device_cache and augment:
         if cfg.data.loader != "native":
             raise ValueError("--device_cache requires --loader native")
-        from gdn_tpu.data.device_cache import DeviceResidentDataset
+        if cfg.data.device_cache_sharded:
+            from gdn_tpu.data.device_cache import ShardedDeviceDataset
 
-        loader = DeviceResidentDataset(loader, mesh)
-        print(f"device_cache: {len(loader)} samples resident in HBM")
+            loader = ShardedDeviceDataset(loader, mesh)
+            print(
+                f"device_cache (sharded): {len(loader)} samples resident "
+                f"across {mesh.shape['data']} devices"
+            )
+        else:
+            from gdn_tpu.data.device_cache import DeviceResidentDataset
+
+            loader = DeviceResidentDataset(loader, mesh)
+            print(f"device_cache: {len(loader)} samples resident in HBM")
 
     stage_subdir = "stage1" if args.mode == "DtoD" else "stage2"
     resume_dir = f"{cfg.train.ckpt_dir}/{stage_subdir}"

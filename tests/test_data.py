@@ -1023,3 +1023,169 @@ def test_device_cache_rides_host_decode_cache(kitti_fixture, tmp_path):
     for a, b in zip(ref, got):
         for k in a:
             np.testing.assert_array_equal(a[k], np.asarray(b[k]))
+
+
+def test_sharded_device_cache_d1_matches_replicated(kitti_fixture):
+    """On a 1-device mesh the sharded cache's index stream IS the
+    wrapped loader's stream: batches match DeviceResidentDataset
+    exactly (padded tail rows are zero SAMPLES here instead of zeroed
+    counts — same mask-0 wire semantics)."""
+    from gdn_tpu.data.device_cache import (
+        DeviceResidentDataset, ShardedDeviceDataset,
+    )
+    from gdn_tpu.parallel.mesh import create_mesh
+
+    def mk():
+        return KittiTrainDataset(
+            kitti_fixture, "train.txt", (128, 416), batch_size=4,
+            loop=False, shuffle=True, seed=3,
+        )
+
+    mesh = create_mesh(1)
+    rep = [jax.tree.map(np.asarray, b) for b in DeviceResidentDataset(mk())]
+    shd = [jax.tree.map(np.asarray, b) for b in ShardedDeviceDataset(mk(), mesh)]
+    assert len(rep) == len(shd)
+    for a, b in zip(rep, shd):
+        np.testing.assert_array_equal(a["depth"], b["depth"])
+        real = (a["depth"][..., 0] > 0).any(axis=(1, 2))
+        np.testing.assert_array_equal(a["rgb"][real], b["rgb"][real])
+
+
+def test_sharded_device_cache_coverage_determinism_seek(kitti_fixture):
+    """D=2 mesh, loop=False: every corpus sample appears exactly once
+    per pass; the stream is deterministic and seek(k) resumes it."""
+    from gdn_tpu.data.device_cache import ShardedDeviceDataset
+    from gdn_tpu.parallel.mesh import create_mesh
+
+    def mk():
+        return KittiTrainDataset(
+            kitti_fixture, "train.txt", (128, 416), batch_size=4,
+            loop=False, shuffle=True, seed=7,
+        )
+
+    mesh = create_mesh(2)
+    ds = ShardedDeviceDataset(mk(), mesh)
+    stream = [jax.tree.map(np.asarray, b) for b in ds]
+
+    # coverage: multiset of non-pad rgb rows == the decoded corpus
+    corpus_rgb, _ = mk()._decode_wire(np.arange(6))
+    want = sorted(r.tobytes() for r in corpus_rgb)
+    got = []
+    for b in stream:
+        real = (b["depth"][..., 0] > 0).any(axis=(1, 2))
+        got.extend(r.tobytes() for r in b["rgb"][real])
+    assert sorted(got) == want
+
+    # determinism: a fresh instance replays the identical stream
+    again = [jax.tree.map(np.asarray, b) for b in ShardedDeviceDataset(mk(), mesh)]
+    assert len(again) == len(stream)
+    for a, b in zip(stream, again):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    # seek: skip the first batch of the deterministic sequence
+    ds.seek(1)
+    resumed = [jax.tree.map(np.asarray, b) for b in ds]
+    assert len(resumed) == len(stream) - 1
+    for a, b in zip(stream[1:], resumed):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_sharded_device_cache_placement(kitti_fixture):
+    """Corpus arrays shard over the data axis (each device holds its
+    n_local+1 block) and batches come out batch-sharded — gathers are
+    local by construction (shard_map)."""
+    from jax.sharding import PartitionSpec as P
+
+    from gdn_tpu.data.device_cache import ShardedDeviceDataset
+    from gdn_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    mesh = create_mesh(2)
+    ds = ShardedDeviceDataset(
+        KittiTrainDataset(
+            kitti_fixture, "train.txt", (128, 416), batch_size=4,
+            loop=False, shuffle=False,
+        ),
+        mesh,
+    )
+    assert ds.rgb.sharding.spec == P("data")
+    n_local = -(-6 // 2)
+    for s in ds.rgb.addressable_shards:
+        assert s.data.shape == (n_local + 1, 128, 416, 3)
+    b = next(iter(ds))
+    assert b["rgb"].sharding.is_equivalent_to(batch_sharding(mesh), 4)
+    for s in b["rgb"].addressable_shards:
+        assert s.data.shape == (2, 128, 416, 3)
+
+
+def test_sharded_device_cache_gates(kitti_fixture):
+    from gdn_tpu.data.device_cache import ShardedDeviceDataset
+    from gdn_tpu.parallel.mesh import create_mesh
+
+    mesh2 = create_mesh(2)
+    # f32 loaders are refused (wire path required)
+    with pytest.raises(ValueError, match="wire"):
+        ShardedDeviceDataset(
+            KittiTrainDataset(
+                kitti_fixture, "train.txt", (128, 416), batch_size=4,
+                loop=False, wire="f32",
+            ),
+            mesh2,
+        )
+    # spatial meshes are refused
+    with pytest.raises(ValueError, match="spatial"):
+        ShardedDeviceDataset(
+            KittiTrainDataset(
+                kitti_fixture, "train.txt", (128, 416), batch_size=4,
+                loop=False,
+            ),
+            create_mesh(4, spatial=2),
+        )
+    # a looping cache whose smallest shard can't fill its sub-batch
+    # would starve that device: 6 samples over 4 devices -> shards of
+    # (2,2,2,0) against a per-device batch of 1
+    with pytest.raises(ValueError, match="starve"):
+        ShardedDeviceDataset(
+            KittiTrainDataset(
+                kitti_fixture, "train.txt", (128, 416), batch_size=4,
+                loop=True,
+            ),
+            create_mesh(4),
+        )
+    # batch size must divide over the data extent
+    with pytest.raises(ValueError, match="divisible"):
+        ShardedDeviceDataset(
+            KittiTrainDataset(
+                kitti_fixture, "train.txt", (128, 416), batch_size=3,
+                loop=False,
+            ),
+            mesh2,
+        )
+
+
+def test_sharded_device_cache_looping_stream(kitti_fixture):
+    """loop=True: per-shard reshuffled epochs zip into an endless
+    deterministic global stream (the training path)."""
+    from gdn_tpu.data.device_cache import ShardedDeviceDataset
+    from gdn_tpu.parallel.mesh import create_mesh
+
+    def mk():
+        return KittiTrainDataset(
+            kitti_fixture, "train.txt", (128, 416), batch_size=4,
+            loop=True, shuffle=True, seed=5,
+        )
+
+    mesh = create_mesh(2)
+    it = iter(ShardedDeviceDataset(mk(), mesh))
+    a = [jax.tree.map(np.asarray, next(it)) for _ in range(4)]
+    assert all(b["rgb"].shape == (4, 128, 416, 3) for b in a)
+    assert all((b["depth"][..., 0] > 0).any(axis=(1, 2)).all() for b in a)
+
+    ds2 = ShardedDeviceDataset(mk(), mesh)
+    ds2.seek(2)
+    it2 = iter(ds2)
+    for b in a[2:]:
+        c = jax.tree.map(np.asarray, next(it2))
+        for k in b:
+            np.testing.assert_array_equal(b[k], c[k])
