@@ -232,11 +232,12 @@ def apply_saved_model_config(cfg: Config, args: argparse.Namespace,
     # no parameter and belong to the CURRENT environment — adopting
     # them would e.g. pin a checkpoint trained with --no_pallas (CPU
     # smoke run) to the XLA fallback forever, with no CLI way back.
+    # The set is field metadata (config._exec_field), not a hardcoded
+    # denylist, so new ModelConfig fields self-classify at definition
+    # (tests/test_cli.py asserts every field is categorized).
     execution_fields = {
-        "gn_impl", "gn_analytic_vjp", "resize_conv_composed",
-        "elu_outform_vjp", "dtype", "use_pallas", "use_pallas_fusion",
-        "use_pallas_gn", "use_pallas_convgn", "use_pallas_convgn_bt",
-        "convgn_bt_tile", "use_pallas_convgn_s2", "use_pallas_fusion_bt",
+        f.name for f in dataclasses.fields(type(model))
+        if f.metadata.get("execution")
     }
     model = dataclasses.replace(model, **{
         f: getattr(cfg.model, f) for f in execution_fields

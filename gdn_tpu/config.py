@@ -20,6 +20,17 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 
+def _exec_field(default):
+    """Execution-strategy field (kernel backends, custom VJPs, composed
+    execution, compute dtype): changes no trained parameter and belongs
+    to the CURRENT environment.  `cli.apply_saved_model_config` derives
+    its keep-from-environment set from this metadata, so new fields
+    self-classify instead of relying on a hand-maintained denylist
+    (tests/test_cli.py asserts every ModelConfig field is categorized).
+    """
+    return dataclasses.field(default=default, metadata={"execution": True})
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Architecture of the two-stage guided depth network.
@@ -46,7 +57,7 @@ class ModelConfig:
     # (reshape to (B,HW,G,C/G), reduce axes (1,3), two-pass variance).
     # The GN chains are the profiled per-step hot spot; chanreduce
     # measured +6.5% full-step throughput at B=128 (BASELINE.md).
-    gn_impl: str = "chanreduce"
+    gn_impl: str = _exec_field("chanreduce")
     # Analytic custom-VJP GroupNorm+ELU (ops/groupnorm.py
     # group_norm_elu_analytic): forward bit-identical to chanreduce, but
     # the backward saves only the normalized tensor (not the conv output
@@ -54,7 +65,7 @@ class ModelConfig:
     # full-tensor reduces — built against the round-3 closing profile
     # (GN stats = 18.5 ms of the 63 ms step).  TPU-measured win:
     # stage-2 B=128 1908->1991 imgs/sec (+4.3%), two runs (BASELINE.md).
-    gn_analytic_vjp: bool = True
+    gn_analytic_vjp: bool = _exec_field(True)
     # Activation inside conv blocks. ELU is standard in depth nets.
     activation: str = "elu"
     # Upsampling style: "resize_conv" (bilinear resize + conv) or
@@ -79,7 +90,7 @@ class ModelConfig:
     # TPU A/B (two interleaved passes each, /tmp/ab_composed.py r4):
     # B=128 2166/2169 vs 1997/1988 imgs/sec (+8.8%), B=32 675/674 vs
     # 636/634 (+6.4%) — default ON (BASELINE.md round 4).
-    resize_conv_composed: bool = True
+    resize_conv_composed: bool = _exec_field(True)
     # GroupNorm+activation epilogue on the deconv upsample branch.
     # Measured (round 3, BASELINE.md): costs ~9% step throughput (2494
     # vs 2731 imgs/sec at B=128) and does NOT close the deconv
@@ -107,7 +118,7 @@ class ModelConfig:
     # TPU-measured on the stage-2 step (B=128, two interleaved A/B
     # pairs): on 2647.0/2641.0 vs off 2614.8/2535.9 imgs/sec (+1-4%),
     # neutral at B=32 — default on (BASELINE.md).
-    elu_outform_vjp: bool = True
+    elu_outform_vjp: bool = _exec_field(True)
     # Guidance fusion: how encoder-skip / guidance features enter the
     # decoder: "concat" (concat + conv) or "add".
     fusion: str = "concat"
@@ -121,26 +132,26 @@ class ModelConfig:
     max_depth: float = 80.0
     min_depth: float = 1e-3
     # Compute dtype for the conv stack (params stay float32).
-    dtype: str = "bfloat16"
+    dtype: str = _exec_field("bfloat16")
     # Use Pallas kernels for fused blocks where available.
-    use_pallas: bool = True
+    use_pallas: bool = _exec_field(True)
     # Fused fusion/upsample block kernels: TPU-validated correct but
     # MEASURED SLOWER than XLA convs at these channel widths (the
     # 128-lane padding tax; see BASELINE.md) — default off, kept as a
     # capability with equivalence tests.
-    use_pallas_fusion: bool = False
+    use_pallas_fusion: bool = _exec_field(False)
     # Fused GroupNorm+ELU kernel (kernels/groupnorm.py): one op per
     # layer instead of XLA's 3-4 latency-bound fusions — built against
     # the round-2 profile; default off until TPU-measured (CLAUDE.md
     # gating policy).
-    use_pallas_gn: bool = False
+    use_pallas_gn: bool = _exec_field(False)
     # Epilogue-fused conv3x3+GN+ELU kernel (kernels/conv_gn_elu.py):
     # ONE op per ConvBlock instead of conv + 2 stat reduces + 2
     # elementwise fusions, one HBM write instead of three feature-map
     # round-trips.  Applies only to stride-1 lane-aligned blocks (the
     # deep encoder refining convs); default off until TPU-measured
     # (CLAUDE.md gating policy).
-    use_pallas_convgn: bool = False
+    use_pallas_convgn: bool = _exec_field(False)
     # v2 batch-tiled + column-packed + analytic-VJP variant
     # (kernels/conv_gn_elu.py fused_conv_gn_elu_bt): fixes the three
     # measured defects of v1 — per-image grid underfill (T images per
@@ -152,9 +163,9 @@ class ModelConfig:
     # stride-1 refine conv in the ladder, including the C=32/64 blocks
     # that hold most of the GN stat bytes.  Default off until
     # TPU-measured (CLAUDE.md gating policy).
-    use_pallas_convgn_bt: bool = False
+    use_pallas_convgn_bt: bool = _exec_field(False)
     # Batch tile T for the bt kernel; pick_batch_tile caps it to VMEM.
-    convgn_bt_tile: int = 8
+    convgn_bt_tile: int = _exec_field(8)
     # Stride-2 sibling (kernels/conv_gn_elu.py fused_conv_gn_elu_s2):
     # covers the DownBlock stride-2 convs — the other half of the
     # encoder GN stat bytes (with the deconv decoder default the
@@ -163,7 +174,7 @@ class ModelConfig:
     # (2M, W') -> (M, 2W') row-pair-into-columns reshape, so all six
     # taps stay static ref slices.  Default off until TPU-measured
     # (CLAUDE.md gating policy).
-    use_pallas_convgn_s2: bool = False
+    use_pallas_convgn_s2: bool = _exec_field(False)
     # Batch-tiled fused FusionBlock (kernels/fusion_bt.py): the decoder
     # half of the producer-fusion campaign.  concat(x, lateral) -> conv
     # -> GN -> ELU runs as ONE op with the concat never materialized
@@ -171,7 +182,7 @@ class ModelConfig:
     # backward.  With the deconv decoder default the FusionBlocks hold
     # ALL decoder GN stats.  Default off until TPU-measured (CLAUDE.md
     # gating policy).
-    use_pallas_fusion_bt: bool = False
+    use_pallas_fusion_bt: bool = _exec_field(False)
 
     @property
     def num_scales(self) -> int:

@@ -30,14 +30,50 @@ decode-AND-quantize-free; the f32 path converts on read.
 
 from __future__ import annotations
 
+import fcntl
 import hashlib
 import json
 import os
+import threading
 from typing import Sequence, Tuple
 
 import numpy as np
 
 _MANIFEST = "manifest.json"
+_LOCKFILE = "lock"
+
+# flock handles this process holds, keyed by realpath(cache_dir): the
+# lock is exclusive ACROSS processes but shared WITHIN one (reopening a
+# dataset on the same cache dir — the persistence tests' pattern — is
+# single-writer by construction under the GIL).  Held for the process
+# lifetime; the OS releases them at exit.
+_HELD_LOCKS: dict = {}
+_HELD_LOCKS_GUARD = threading.Lock()
+
+
+def _acquire_dir_lock(cache_dir: str) -> None:
+    """Exclusive cross-process flock on ``cache_dir`` (ADVICE round 4):
+    the cache fills lazily for a whole epoch, so a second PROCESS on the
+    same directory could interleave a mode="w+" truncating rebuild with
+    this process's live r+ memmaps — torn reads behind already-set
+    valid flags.  Taken BEFORE the fresh/rebuild decision; a held lock
+    is a loud refusal, never silent corruption."""
+    key = os.path.realpath(cache_dir)
+    with _HELD_LOCKS_GUARD:
+        if key in _HELD_LOCKS:
+            return
+        f = open(os.path.join(cache_dir, _LOCKFILE), "w")
+        try:
+            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            f.close()
+            raise RuntimeError(
+                f"decode cache {cache_dir!r} is locked by another "
+                f"process — each concurrent run needs its own "
+                f"--decode_cache directory (or wait for the holder to "
+                f"exit)"
+            ) from None
+        _HELD_LOCKS[key] = f
 
 
 def corpus_key(entries, size: Tuple[int, int], depth_scale: float) -> str:
@@ -65,6 +101,7 @@ class DecodedSampleCache:
         self.dir = cache_dir
         h, w = size
         os.makedirs(cache_dir, exist_ok=True)
+        _acquire_dir_lock(cache_dir)
         manifest = {
             "n": n, "height": h, "width": w,
             "depth_scale": depth_scale, "key": key,

@@ -170,23 +170,37 @@ class GrainKittiDataset:
         )
         self._it = None
         # Consumption-aligned state log: (produced_count, state) after
-        # each yielded batch.  A prefetch queue between this loader and
-        # the trainer means the raw cursor runs up to prefetch-depth
-        # batches AHEAD of what was trained on; state_dict_at(step)
-        # returns the state matching the trainer's actual position.
+        # each yielded batch, PLUS a base entry for the current rebase
+        # point (iterator creation / load_state_dict / seek).  A
+        # prefetch queue between this loader and the trainer means the
+        # raw cursor runs up to prefetch-depth batches AHEAD of what was
+        # trained on; state_dict_at(step) returns the state matching the
+        # trainer's actual position.  The log is the ONLY source
+        # state_dict_at reads: grain iterators are not documented safe
+        # for a consumer-thread get_state() racing the producer's
+        # next(), so every get_state() here happens in whichever thread
+        # drives the iterator, under the lock (ADVICE round 4).
         self._produced = 0
         self._state_log: collections.deque = collections.deque(maxlen=64)
         # The producer (prefetch thread) appends while the trainer
-        # thread reads state_dict_at at checkpoint time — guard both.
+        # thread reads state_dict_at at checkpoint time — guard both,
+        # plus the produced counter and lazy iterator creation.
         self._state_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self._source)
 
     def _iterator(self):
-        if self._it is None:
-            self._it = iter(self._loader)
-        return self._it
+        with self._state_lock:
+            if self._it is None:
+                self._it = iter(self._loader)
+                # Seed the log so state_dict_at(rebase point) is served
+                # from producer-written entries even before any batch.
+                if not self._state_log:
+                    self._state_log.append(
+                        (self._produced, self._it.get_state())
+                    )
+            return self._it
 
     # -- checkpointable stream position ---------------------------------
     def state_dict(self) -> str:
@@ -194,7 +208,10 @@ class GrainKittiDataset:
         in grain 0.2.x) — small enough to ride in the orbax payload.
         With a prefetch queue downstream, checkpoint
         :meth:`state_dict_at` instead (this cursor includes batches that
-        were produced but never consumed by the trainer)."""
+        were produced but never consumed by the trainer).  Call only
+        from the thread driving the iterator: get_state() racing a
+        concurrent next() is undefined (state_dict_at is the
+        thread-safe form — it reads producer-written log entries)."""
         return self._iterator().get_state().decode()
 
     def state_dict_at(self, consumed: int) -> str:
@@ -204,9 +221,8 @@ class GrainKittiDataset:
         step count, which counts data batches consumed).  Works for any
         worker_count: grain's get_state captures the multiprocess
         cursor, unlike seek() (single index stream only)."""
+        self._iterator()  # ensure the log holds its base entry
         with self._state_lock:
-            if consumed == self._produced and not self._state_log:
-                return self.state_dict()  # nothing produced since position
             for n, s in self._state_log:
                 if n == consumed:
                     return s.decode() if isinstance(s, bytes) else s
@@ -223,9 +239,10 @@ class GrainKittiDataset:
         re-bases the batch counter so later state_dict_at(step) calls
         line up with the trainer's absolute step count."""
         self._iterator().set_state(state.encode())
-        self._produced = produced
         with self._state_lock:
+            self._produced = produced
             self._state_log.clear()
+            self._state_log.append((produced, state))
 
     def seek(self, n_batches: int) -> None:
         """Shared resume contract (SeekableLoaderMixin): position the
@@ -244,10 +261,12 @@ class GrainKittiDataset:
         # n*batch_size, so the last seen index is one before that.
         key = next(iter(last))
         obj["last_seen_indices"][key] = n_batches * self.batch_size - 1
-        self._iterator().set_state(json.dumps(obj).encode())
-        self._produced = n_batches
+        new_state = json.dumps(obj)
+        self._iterator().set_state(new_state.encode())
         with self._state_lock:
+            self._produced = n_batches
             self._state_log.clear()
+            self._state_log.append((n_batches, new_state))
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         it = self._iterator()
@@ -256,11 +275,13 @@ class GrainKittiDataset:
                 batch = next(it)
             except StopIteration:
                 return
-            self._produced += 1
-            # raw bytes: get_state() is paid per batch (the checkpoint
-            # may ask for ANY recent batch), but the str decode is
-            # deferred to the once-per-epoch state_dict_at read
+            # Counter + state capture ride the PRODUCER thread, after
+            # next() returned, under the lock — state_dict_at never
+            # touches the iterator.  Raw bytes: get_state() is paid per
+            # batch (the checkpoint may ask for ANY recent batch); the
+            # str decode is deferred to the once-per-epoch read.
             with self._state_lock:
+                self._produced += 1
                 self._state_log.append((self._produced, it.get_state()))
             yield batch
 

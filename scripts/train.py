@@ -106,12 +106,23 @@ def main():
     if cfg.data.loader == "grain":
         def loader_state_fn(step: int):
             # Never let a cursor-capture failure kill the training run —
-            # resume falls back to seek() when the item is absent.
+            # but be honest about the consequence: seek() only works on
+            # a single index stream, so a multiprocess (>=2 worker)
+            # loader whose capture failed cannot reposition at all
+            # (grain_loader.seek raises NotImplementedError there).
             try:
                 return {"grain": loader.state_dict_at(step), "step": step}
             except Exception as e:  # noqa: BLE001
-                print(f"[train] loader state capture failed ({e}); "
-                      f"resume will use seek()", flush=True)
+                if cfg.data.grain_workers >= 2:
+                    print(f"[train] WARNING: loader state capture failed "
+                          f"({e}); with --workers "
+                          f"{cfg.data.grain_workers} there is NO seek() "
+                          f"fallback — --resume from this checkpoint "
+                          f"will refuse to reposition the data stream "
+                          f"(NotImplementedError)", flush=True)
+                else:
+                    print(f"[train] loader state capture failed ({e}); "
+                          f"resume will use seek()", flush=True)
                 return None
 
     logger = MetricLogger(

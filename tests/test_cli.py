@@ -182,3 +182,35 @@ def test_saved_config_adopts_architecture_not_execution(tmp_path):
     assert cfg.model.use_pallas == env.model.use_pallas
     assert cfg.model.resize_conv_composed == env.model.resize_conv_composed
     assert cfg.model.dtype == env.model.dtype
+
+
+def test_every_model_config_field_is_categorized():
+    """apply_saved_model_config keeps execution-strategy fields from the
+    environment and adopts everything else from the checkpoint.  The
+    split is field metadata (config._exec_field); this test pins the
+    ARCHITECTURE side explicitly so any NEW ModelConfig field fails here
+    until its author decides which side it belongs to — the silent
+    default (adopted from old checkpoints) is exactly the re-pinning
+    failure the execution set exists to prevent (ADVICE round 4)."""
+    import dataclasses
+
+    from gdn_tpu.config import ModelConfig
+
+    architecture = {
+        "image_size", "enc_channels", "dec_channels", "norm",
+        "group_norm_groups", "activation", "upsample", "deconv_gn",
+        "deconv_init", "fusion", "multiscale_heads", "max_depth",
+        "min_depth",
+    }
+    execution = {
+        f.name for f in dataclasses.fields(ModelConfig)
+        if f.metadata.get("execution")
+    }
+    every = {f.name for f in dataclasses.fields(ModelConfig)}
+    assert architecture & execution == set()
+    assert architecture | execution == every, (
+        f"uncategorized ModelConfig fields: "
+        f"{sorted(every - architecture - execution)} — mark them with "
+        f"config._exec_field(...) or add them to this test's "
+        f"architecture set"
+    )

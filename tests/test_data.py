@@ -776,6 +776,9 @@ def test_grain_state_dict_at_prefetch_offset(kitti_fixture):
         kitti_fixture, "train.txt", (128, 416), batch_size=2, seed=7,
         wire="f32",
     )
+    # a never-iterated loader still serves its position (base entry)
+    assert isinstance(mk().state_dict_at(0), str)
+
     ref_it = iter(mk())
     reference = [next(ref_it) for _ in range(6)]
 
@@ -787,6 +790,9 @@ def test_grain_state_dict_at_prefetch_offset(kitti_fixture):
 
     dst = mk()
     dst.load_state_dict(state3, produced=3)
+    # the rebase point itself is servable BEFORE any production — the
+    # base log entry, not a consumer-thread get_state() (ADVICE round 4)
+    assert dst.state_dict_at(3) == state3
     it2 = iter(dst)
     for want in reference[3:5]:
         got = next(it2)
@@ -996,6 +1002,44 @@ def test_decode_cache_truncated_files_rebuild(kitti_fixture, tmp_path):
     for a, b in zip(ref, again):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_decode_cache_cross_process_lock(kitti_fixture, tmp_path):
+    """Two PROCESSES pointed at one --decode_cache dir: the second
+    refuses loudly (flock held for the first's lifetime) instead of
+    risking a truncating w+ rebuild under live r+ memmaps (ADVICE
+    round 4).  Same-process reopen stays allowed (the persistence tests
+    cover it)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    cache = str(tmp_path / "cache")
+    ds = KittiTrainDataset(
+        kitti_fixture, "train.txt", (128, 416), batch_size=3,
+        loop=False, shuffle=False, cache_dir=cache,
+    )
+    next(iter(ds))  # builds + locks the cache dir in THIS process
+
+    code = textwrap.dedent(
+        f"""
+        from gdn_tpu.data.cache import DecodedSampleCache
+        try:
+            DecodedSampleCache({cache!r}, 3, (128, 416), 256.0, "other")
+        except RuntimeError as e:
+            assert "locked by another process" in str(e), e
+            print("LOCK_REFUSED")
+        else:
+            print("LOCK_ACQUIRED")
+        """
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "LOCK_REFUSED" in out.stdout
 
 
 def test_device_cache_rides_host_decode_cache(kitti_fixture, tmp_path):
