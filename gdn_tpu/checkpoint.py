@@ -383,3 +383,48 @@ def params_from_torch(
             f"or extend key_map)"
         )
     return out
+
+
+def params_to_torch(
+    params: Dict[str, Any],
+    key_map: Optional[Dict[str, str]] = None,
+) -> Dict[str, Any]:
+    """Export a flax parameter tree as a torch-style ``state_dict``
+    (float32 numpy arrays keyed ``"a.b.c"``) — the exact inverse of
+    :func:`params_from_torch`, closing the migration loop: models
+    trained here can travel BACK to the reference's torch ecosystem
+    (SURVEY.md §2.9 — the reference ships its models as ``.pth``
+    files).  CLI: ``scripts/export_torch.py``.
+
+    Mapping rules (mirror the import):
+      - flax leaf path "a/b/c" becomes torch key "a.b.c"; ``key_map``
+        renames flax paths to per-checkpoint torch keys (same keys as
+        the import's map, used in the opposite direction).
+      - 4-D conv kernels permute flax HWIO -> torch OIHW
+        unconditionally; conv_transpose kernels (torch expects IOHW)
+        are not auto-detected — post-permute via the caller, exactly
+        as the import requires pre-permuting.
+      - everything else (biases, norm scales, 1-D/2-D) copies as-is.
+
+    Round-trip contract (tested): ``params_from_torch(template,
+    params_to_torch(params))`` is bit-equal to ``params``.  The result
+    holds plain numpy arrays, so no torch import happens here; save
+    with ``torch.save({k: torch.from_numpy(v), ...}, path)``.
+    """
+    import numpy as np
+
+    key_map = key_map or {}
+    out: Dict[str, Any] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+            return
+        arr = np.asarray(node, dtype=np.float32)
+        if arr.ndim == 4:
+            arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+        out[key_map.get(prefix, prefix.replace("/", "."))] = arr
+
+    walk(params, "")
+    return out
