@@ -133,6 +133,17 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                         "inserts the conv halo exchanges); must divide "
                         "the device count; composes with data "
                         "parallelism (mesh = data x spatial)")
+    p.add_argument("--model_devices", type=int, default=1,
+                   help="tensor-parallel mesh axis: shard every "
+                        "parameter's output-channel dim across this many "
+                        "devices (Megatron-style column parallelism; XLA "
+                        "SPMD inserts the activation collectives); must "
+                        "divide the device count; mesh = data x model")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard parameters + optimizer/EMA state over the "
+                        "data axis (ZeRO-3 semantics: weights all-gather "
+                        "at use, gradients reduce-scatter); mutually "
+                        "exclusive with --model_devices")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint of this stage")
@@ -338,6 +349,8 @@ def build_config(args: argparse.Namespace) -> Config:
             "train.log_every": args.log_every,
             "mesh.num_devices": args.num_devices,
             "mesh.spatial_devices": args.spatial_devices,
+            "mesh.model_devices": args.model_devices,
+            "mesh.fsdp": args.fsdp,
         })
         if args.ssim_precision is not None:
             over["loss.ssim_precision"] = args.ssim_precision

@@ -432,11 +432,25 @@ class MeshConfig:
     resolutions whose activations exceed one chip's HBM even at
     batch 1; it composes with data parallelism (device count =
     data x spatial).  The Pallas loss kernel has no SPMD rule, so
-    spatial steps route through the jnp loss path automatically."""
+    spatial steps route through the jnp loss path automatically.
+
+    ``model_devices > 1`` adds a "model" mesh axis carrying TENSOR
+    PARALLELISM: every parameter's output-channel dim shards across it
+    (Megatron-style column parallel for convs), activations stay
+    channel-sharded between layers, and XLA SPMD inserts the
+    all-gathers/psums (parallel/mesh.py tensor_parallel_spec).
+    ``fsdp=True`` instead shards every parameter (+ its Adam/EMA
+    mirrors) over the existing "data" axis — ZeRO-3 semantics: weights
+    all-gather at use, gradients reduce-scatter.  Both are pure
+    placement changes (same math, same checkpoints) that divide
+    per-device parameter+optimizer memory by the axis extent; they are
+    mutually exclusive."""
 
     data_axis: str = "data"
     num_devices: int = 0  # 0 = all available
     spatial_devices: int = 1  # 1 = pure data-parallel (no spatial axis)
+    model_devices: int = 1  # >1 = tensor parallelism over a "model" axis
+    fsdp: bool = False  # shard params/opt/EMA over "data" (ZeRO-3)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,6 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
+MODEL_AXIS = "model"
 
 
 def create_mesh(
@@ -41,26 +42,38 @@ def create_mesh(
     axis_name: str = DATA_AXIS,
     devices: Optional[Sequence[jax.Device]] = None,
     spatial: int = 1,
+    model: int = 1,
 ) -> Mesh:
     """Mesh over the first `num_devices` devices (0 = all).
 
-    ``spatial=1`` (default): the 1-D data-parallel mesh.  ``spatial=S``:
-    a 2-D (data, spatial) mesh — S must divide the device count; the
-    data extent is ``n // S``.  On real hardware the trailing mesh dim
-    maps to the fastest-varying (nearest-neighbor) chips, which is what
-    the halo exchanges ride.
+    ``spatial=1, model=1`` (default): the 1-D data-parallel mesh.
+    ``spatial=S`` adds a "spatial" axis (image-height sharding);
+    ``model=M`` adds a "model" axis (tensor parallelism: channel
+    dimensions of the parameters shard across it — see
+    :func:`tensor_parallel_spec`).  Extents must divide the device
+    count; the data extent is ``n // (S*M)``.  On real hardware the
+    trailing mesh dims map to the fastest-varying (nearest-neighbor)
+    chips, which is what the halo exchanges / activation all-gathers
+    ride.
     """
     devs = list(devices) if devices is not None else jax.devices()
     if num_devices:
         devs = devs[:num_devices]
-    if spatial <= 1:
+    inner = spatial * model
+    if inner <= 1:
         return Mesh(np.asarray(devs), (axis_name,))
-    if len(devs) % spatial:
+    if len(devs) % inner:
         raise ValueError(
-            f"spatial={spatial} does not divide {len(devs)} devices"
+            f"spatial={spatial} x model={model} does not divide "
+            f"{len(devs)} devices"
         )
-    grid = np.asarray(devs).reshape(len(devs) // spatial, spatial)
-    return Mesh(grid, (axis_name, SPATIAL_AXIS))
+    dims = [(axis_name, len(devs) // inner)]
+    if spatial > 1:
+        dims.append((SPATIAL_AXIS, spatial))
+    if model > 1:
+        dims.append((MODEL_AXIS, model))
+    grid = np.asarray(devs).reshape([d for _, d in dims])
+    return Mesh(grid, tuple(n for n, _ in dims))
 
 
 def spatial_size(mesh: Optional[Mesh]) -> int:
@@ -68,6 +81,13 @@ def spatial_size(mesh: Optional[Mesh]) -> int:
     if mesh is None or SPATIAL_AXIS not in mesh.axis_names:
         return 1
     return mesh.shape[SPATIAL_AXIS]
+
+
+def model_size(mesh: Optional[Mesh]) -> int:
+    """Extent of the model (tensor-parallel) axis (1 when absent)."""
+    if mesh is None or MODEL_AXIS not in mesh.axis_names:
+        return 1
+    return mesh.shape[MODEL_AXIS]
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -133,3 +153,93 @@ def shard_stacked_batch(
     transfer is one unsharded host->device0 copy + in-jit reshard on
     real multi-chip hardware (VERDICT r2 weak item 6)."""
     return _shard_tree(batch, mesh, stacked_batch_sharding(mesh, axis_name))
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding: tensor parallelism and FSDP (ZeRO-3 style)
+#
+# The reference has neither (SURVEY.md §2.10 marks TP/FSDP absent); the
+# TPU-native forms are pure SHARDING ANNOTATIONS — no parameter math
+# changes.  TP shards every parameter's trailing (output-channel) dim
+# over a "model" mesh axis, which is Megatron-style column parallelism
+# for conv kernels/biases/norm scales: each device owns a channel slice
+# of every layer, XLA's SPMD partitioner keeps activations
+# channel-sharded between layers and inserts the all-gathers/psums the
+# dataflow needs.  FSDP shards every parameter (and its Adam/EMA
+# mirrors, which follow the same rule by shape) over the existing
+# "data" axis: XLA all-gathers weights at use and reduce-scatters
+# gradients — ZeRO-3 semantics from annotations alone.  Both divide
+# per-device parameter + optimizer memory by the axis extent.
+# ---------------------------------------------------------------------------
+
+
+def tensor_parallel_spec(shape, extent: int) -> P:
+    """PartitionSpec sharding the trailing (output-channel) dim over
+    "model" when it divides; replicated otherwise (e.g. the 1-channel
+    depth head, scalar step counters)."""
+    if not shape or shape[-1] < extent or shape[-1] % extent:
+        return P()
+    return P(*([None] * (len(shape) - 1)), MODEL_AXIS)
+
+
+def fsdp_spec(shape, extent: int) -> P:
+    """PartitionSpec sharding each leaf's LARGEST divisible dim over
+    "data" (maximizes bytes split; ties broken toward the leading dim).
+    Leaves with no divisible dim (tiny biases, scalars) replicate."""
+    if not shape:
+        return P()
+    cands = [d for d in range(len(shape)) if shape[d] >= extent and shape[d] % extent == 0]
+    if not cands:
+        return P()
+    best = max(cands, key=lambda d: shape[d])
+    spec = [None] * len(shape)
+    spec[best] = DATA_AXIS
+    return P(*spec)
+
+
+def param_mode(mesh_cfg) -> str:
+    """Resolve MeshConfig -> parameter placement mode."""
+    tp = getattr(mesh_cfg, "model_devices", 1) > 1
+    fsdp = bool(getattr(mesh_cfg, "fsdp", False))
+    if tp and fsdp:
+        raise ValueError(
+            "model_devices>1 (tensor parallel) and fsdp are mutually "
+            "exclusive parameter placements"
+        )
+    return "tp" if tp else ("fsdp" if fsdp else "replicated")
+
+
+def tree_shardings(tree: Any, mesh: Mesh, mode: str) -> Any:
+    """Matching pytree of NamedShardings for a state/params tree.
+
+    mode "tp": trailing-dim channel sharding over "model" (the mesh must
+    carry a model axis).  mode "fsdp": largest-dim sharding over "data".
+    Adam moments, MultiSteps accumulators and EMA mirrors share their
+    parameter's shape, so the shape-keyed rule shards them identically —
+    the optimizer-state memory splits along with the params.
+    """
+    if mode == "tp":
+        extent = model_size(mesh)
+        assert extent > 1, "tp mode needs a 'model' mesh axis"
+        rule = lambda s: tensor_parallel_spec(s, extent)  # noqa: E731
+    elif mode == "fsdp":
+        extent = mesh.shape[DATA_AXIS]
+        rule = lambda s: fsdp_spec(s, extent)  # noqa: E731
+    else:
+        rule = lambda s: P()  # noqa: E731
+
+    def one(x):
+        shape = tuple(getattr(x, "shape", ()) or ())
+        return NamedSharding(mesh, rule(shape))
+
+    return jax.tree.map(one, tree)
+
+
+def shard_state(state: Any, mesh: Mesh, mode: str):
+    """Place a TrainState (or any array pytree) onto the mesh under the
+    given parameter mode.  Returns (placed_state, sharding_tree); pass
+    the sharding tree to the step builders' ``state_sharding=`` so the
+    jitted step pins identical in/out shardings (donation-safe)."""
+    shardings = tree_shardings(state, mesh, mode)
+    placed = jax.tree.map(jax.device_put, state, shardings)
+    return placed, shardings

@@ -20,7 +20,7 @@ from gdn_tpu import checkpoint as ckpt
 from gdn_tpu.config import Config
 from gdn_tpu.models import DtoDNet, RtoDNet
 from gdn_tpu.parallel.mesh import (
-    create_mesh, shard_batch, shard_stacked_batch,
+    create_mesh, param_mode, shard_batch, shard_stacked_batch, shard_state,
 )
 from gdn_tpu.train.state import create_state
 from gdn_tpu.train.steps import (
@@ -172,6 +172,18 @@ def _validate(cfg, state, val_iter, steps, logger, d_params=None):
     return avg
 
 
+def _place_state(state, mesh, cfg: Config):
+    """TP/FSDP placement (MeshConfig.model_devices / .fsdp): shard the
+    state (or any param tree) onto the mesh and return the sharding
+    tree for the step builders.  Replicated mode (the default) returns
+    (state, None) — the builders' replicated prefix handles placement
+    as before."""
+    mode = param_mode(cfg.mesh)
+    if mesh is None or mode == "replicated":
+        return state, None
+    return shard_state(state, mesh, mode)
+
+
 def train_stage1(
     cfg: Config,
     data_iter: Iterable[Dict[str, Any]],
@@ -197,16 +209,21 @@ def train_stage1(
     """
     h, w = cfg.model.image_size
     if mesh is None:
-        mesh = create_mesh(cfg.mesh.num_devices, spatial=cfg.mesh.spatial_devices) if use_mesh else None
+        mesh = create_mesh(
+            cfg.mesh.num_devices, spatial=cfg.mesh.spatial_devices,
+            model=cfg.mesh.model_devices,
+        ) if use_mesh else None
     model = DtoDNet(cfg=cfg.model)
     if state is None:
         state = create_state(
             model, (1, h, w, 1), cfg.train, cfg.train.steps_per_epoch
         )
+    state, state_sharding = _place_state(state, mesh, cfg)
     k = cfg.train.steps_per_call
     step_fn = (
-        make_stage1_multistep(cfg, k, mesh) if k > 1
-        else make_stage1_step(cfg, mesh)
+        make_stage1_multistep(cfg, k, mesh, state_sharding=state_sharding)
+        if k > 1
+        else make_stage1_step(cfg, mesh, state_sharding=state_sharding)
     )
     if cfg.train.check_numerics:
         from gdn_tpu.utils.guards import GuardedStep
@@ -281,7 +298,10 @@ def train_stage2(
     command."""
     h, w = cfg.model.image_size
     if mesh is None:
-        mesh = create_mesh(cfg.mesh.num_devices, spatial=cfg.mesh.spatial_devices) if use_mesh else None
+        mesh = create_mesh(
+            cfg.mesh.num_devices, spatial=cfg.mesh.spatial_devices,
+            model=cfg.mesh.model_devices,
+        ) if use_mesh else None
     model = RtoDNet(cfg=cfg.model)
     if state is None:
         state = create_state(
@@ -290,10 +310,19 @@ def train_stage2(
         )
         transferred = ckpt.transfer_stage1_decoder(state.params, d_params)
         state = state.replace(params=transferred)
+    state, state_sharding = _place_state(state, mesh, cfg)
+    d_params, d_sharding = _place_state(d_params, mesh, cfg)
     k = cfg.train.steps_per_call
     step_fn = (
-        make_stage2_multistep(cfg, k, mesh) if k > 1
-        else make_stage2_step(cfg, mesh)
+        make_stage2_multistep(
+            cfg, k, mesh,
+            state_sharding=state_sharding, d_sharding=d_sharding,
+        )
+        if k > 1
+        else make_stage2_step(
+            cfg, mesh,
+            state_sharding=state_sharding, d_sharding=d_sharding,
+        )
     )
     if cfg.train.check_numerics:
         from gdn_tpu.utils.guards import GuardedStep

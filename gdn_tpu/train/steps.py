@@ -230,12 +230,15 @@ def _stage2_loss_fused(params, d_params, batch: Batch, cfg: Config):
 
 
 def make_stage1_step(
-    cfg: Config, mesh: Optional[Mesh] = None
+    cfg: Config, mesh: Optional[Mesh] = None, state_sharding=None,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted stage-1 (D-net) train step.
 
     With a mesh: donated replicated state, batch sharded on "data"
-    (and H on "spatial" for 2-D meshes)."""
+    (and H on "spatial" for 2-D meshes).  ``state_sharding`` (a
+    NamedSharding pytree matching the TrainState, from
+    ``parallel.mesh.shard_state``) overrides the replicated default —
+    the TP (channel-sharded) and FSDP placements ride through here."""
     from gdn_tpu.models import DtoDNet
 
     orig, cfg = cfg, _spatial_safe_cfg(cfg, mesh)
@@ -249,11 +252,13 @@ def make_stage1_step(
         new_state = _apply_update(state, grads, cfg)
         return new_state, terms
 
-    return _jit_step(step, mesh, donate_state=True)
+    return _jit_step(step, mesh, donate_state=True,
+                     state_sharding=state_sharding)
 
 
 def make_stage2_step(
-    cfg: Config, mesh: Optional[Mesh] = None
+    cfg: Config, mesh: Optional[Mesh] = None,
+    state_sharding=None, d_sharding=None,
 ) -> Callable[
     [TrainState, Any, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]
 ]:
@@ -262,7 +267,8 @@ def make_stage2_step(
     Signature: step(state, d_params, batch).  ``d_params`` is the frozen
     stage-1 D-net parameter tree (guidance targets); the G-net decoder
     inside ``state`` is additionally frozen via the optimizer mask when
-    cfg.train.freeze_decoder.
+    cfg.train.freeze_decoder.  ``state_sharding``/``d_sharding`` pin
+    TP/FSDP placements (see make_stage1_step).
     """
     from gdn_tpu.models import DtoDNet, RtoDNet
 
@@ -299,17 +305,25 @@ def make_stage2_step(
         return jax.jit(step, donate_argnums=(0,))
     rep = replicated(mesh)
     data = batch_sharding(mesh)
-    # `rep`/`data` act as pytree prefixes over the state/batch subtrees.
+    # `rep`/`data` act as pytree prefixes over the state/batch subtrees;
+    # a state_sharding/d_sharding tree (TP/FSDP) replaces the prefix.
     return jax.jit(
         step,
-        in_shardings=(rep, rep, data),
-        out_shardings=(rep, rep),
+        in_shardings=(
+            state_sharding if state_sharding is not None else rep,
+            d_sharding if d_sharding is not None else rep,
+            data,
+        ),
+        out_shardings=(
+            state_sharding if state_sharding is not None else rep, rep
+        ),
         donate_argnums=(0,),
     )
 
 
 def make_stage1_multistep(
-    cfg: Config, steps_per_call: int, mesh: Optional[Mesh] = None
+    cfg: Config, steps_per_call: int, mesh: Optional[Mesh] = None,
+    state_sharding=None,
 ):
     """Stage-1 step scanning `steps_per_call` optimizer updates inside
     ONE jitted call (see make_stage2_multistep for the rationale).
@@ -340,11 +354,13 @@ def make_stage1_multistep(
         last = jax.tree.map(lambda t: t[-1], terms)
         return state, last
 
-    return _jit_multistep(step, mesh, n_extra=0)
+    return _jit_multistep(step, mesh, n_extra=0,
+                          state_sharding=state_sharding)
 
 
 def make_stage2_multistep(
-    cfg: Config, steps_per_call: int, mesh: Optional[Mesh] = None
+    cfg: Config, steps_per_call: int, mesh: Optional[Mesh] = None,
+    state_sharding=None, d_sharding=None,
 ):
     """Stage-2 step scanning `steps_per_call` optimizer updates inside
     ONE jitted call.
@@ -389,20 +405,29 @@ def make_stage2_multistep(
         last = jax.tree.map(lambda t: t[-1], terms)
         return state, last
 
-    return _jit_multistep(step, mesh, n_extra=1)
+    return _jit_multistep(step, mesh, n_extra=1,
+                          state_sharding=state_sharding,
+                          extra_shardings=(d_sharding,))
 
 
-def _jit_multistep(step, mesh: Optional[Mesh], n_extra: int):
+def _jit_multistep(step, mesh: Optional[Mesh], n_extra: int,
+                   state_sharding=None, extra_shardings=()):
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
     rep = replicated(mesh)
+    ss = state_sharding if state_sharding is not None else rep
+    extras = [
+        (e if e is not None else rep)
+        for e in (extra_shardings or [None] * n_extra)
+    ]
+    assert len(extras) == n_extra
     # batches: leading scan axis replicated, batch axis sharded (and H
     # on "spatial" for 2-D meshes)
     data = stacked_batch_sharding(mesh)
     return jax.jit(
         step,
-        in_shardings=(rep, *([rep] * n_extra), data),
-        out_shardings=(rep, rep),
+        in_shardings=(ss, *extras, data),
+        out_shardings=(ss, rep),
         donate_argnums=(0,),
     )
 
@@ -437,14 +462,16 @@ def make_eval_forward(
     return forward
 
 
-def _jit_step(step, mesh: Optional[Mesh], donate_state: bool):
+def _jit_step(step, mesh: Optional[Mesh], donate_state: bool,
+              state_sharding=None):
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate_state else ())
     rep = replicated(mesh)
+    ss = state_sharding if state_sharding is not None else rep
     data = batch_sharding(mesh)
     return jax.jit(
         step,
-        in_shardings=(rep, data),
-        out_shardings=(rep, rep),
+        in_shardings=(ss, data),
+        out_shardings=(ss, rep),
         donate_argnums=(0,) if donate_state else (),
     )

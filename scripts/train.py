@@ -57,7 +57,10 @@ def main():
     # One mesh for pipeline + trainer: prefetch device_puts each batch
     # sharded over all chips exactly once (no device-0 funnel), and the
     # jitted augmentation then runs sharded too.
-    mesh = create_mesh(cfg.mesh.num_devices, spatial=cfg.mesh.spatial_devices)
+    mesh = create_mesh(
+        cfg.mesh.num_devices, spatial=cfg.mesh.spatial_devices,
+        model=cfg.mesh.model_devices,
+    )
     loader = make_loader(cfg, "train")
     augment = cfg.data.dataset != "synthetic"
     if cfg.data.device_cache and augment:

@@ -1426,3 +1426,186 @@ def test_spatial_tall_image_and_memory_split(d_state):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-6)
         assert np.abs(a - b).max() / scale < 5e-4
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism (mesh "model" axis) and FSDP (params over "data")
+# ---------------------------------------------------------------------------
+
+
+def test_param_sharding_specs_and_exclusivity():
+    """The TP rule shards trailing (output-channel) dims, the FSDP rule
+    the largest divisible dim; replicated fallbacks for indivisible
+    leaves; TP+FSDP together is rejected."""
+    from jax.sharding import PartitionSpec as P
+    from gdn_tpu.config import MeshConfig
+    from gdn_tpu.parallel.mesh import fsdp_spec, param_mode, tensor_parallel_spec
+
+    assert tensor_parallel_spec((3, 3, 8, 16), 4) == P(None, None, None, "model")
+    assert tensor_parallel_spec((16,), 4) == P("model")
+    assert tensor_parallel_spec((3, 3, 8, 1), 4) == P()  # depth head
+    assert tensor_parallel_spec((), 4) == P()  # step counter
+    assert fsdp_spec((3, 3, 8, 16), 8) == P(None, None, None, "data")
+    assert fsdp_spec((16,), 8) == P("data")
+    assert fsdp_spec((3, 3, 4, 1), 8) == P()
+    assert param_mode(MeshConfig()) == "replicated"
+    assert param_mode(MeshConfig(model_devices=4)) == "tp"
+    assert param_mode(MeshConfig(fsdp=True)) == "fsdp"
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        param_mode(MeshConfig(model_devices=2, fsdp=True))
+
+
+def test_tensor_parallel_state_placement(d_state):
+    """shard_state under TP actually SPLITS parameter (and Adam moment)
+    memory: channel dims divide by the model-axis extent on-device."""
+    from gdn_tpu.parallel.mesh import create_mesh, shard_state
+
+    mesh = create_mesh(8, model=4)
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+    placed, shardings = shard_state(d_state, mesh, "tp")
+    k = placed.params["encoder"]["down0"]["ConvBlock_0"]["Conv_0"]["kernel"]
+    assert k.shape[-1] % 4 == 0
+    assert k.sharding.shard_shape(k.shape)[-1] == k.shape[-1] // 4
+    # Adam moments follow the same rule (optimizer memory splits too)
+    leaves = jax.tree.leaves(placed.opt_state)
+    sharded = [
+        x for x in leaves
+        if hasattr(x, "sharding")
+        and x.ndim > 0
+        and x.sharding.shard_shape(x.shape) != x.shape
+    ]
+    assert sharded, "no optimizer-state leaf was sharded"
+
+
+def test_tensor_parallel_stage1_matches_single_device(d_state):
+    """Channel-sharded (TP) train step == single-device step: XLA SPMD's
+    activation collectives must not change the math (MeshConfig.
+    model_devices; parallel/mesh.py tensor_parallel_spec)."""
+    from gdn_tpu.parallel.mesh import create_mesh, shard_batch, shard_state
+
+    mesh = create_mesh(8, model=4)  # (data=2, model=4)
+    batch = _batch(2)
+    step_single = make_stage1_step(TINY, mesh=None)
+
+    state_a = jax.tree.map(jnp.copy, d_state)
+    state_b = jax.tree.map(jnp.copy, d_state)
+    state_b, ss = shard_state(state_b, mesh, "tp")
+    step_mesh = make_stage1_step(TINY, mesh=mesh, state_sharding=ss)
+    s1, t1 = step_single(state_a, batch)
+    s8, t8 = step_mesh(state_b, shard_batch(batch, mesh))
+    assert float(t1["total"]) == pytest.approx(float(t8["total"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        # same tolerance rationale as the data-parallel test above
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
+
+
+def test_tensor_parallel_stage2_matches_single_device(d_state):
+    """Stage-2 guided step under (data=2, model=4): both nets' params
+    and the frozen guidance tree channel-sharded; the frozen-decoder
+    optimizer mask and the composed resize_conv default ride through
+    the SPMD partitioning unchanged."""
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+    from gdn_tpu.parallel.mesh import create_mesh, shard_batch, shard_state
+
+    mesh = create_mesh(8, model=4)
+    g_state = create_state(
+        RtoDNet(cfg=TINY.model), (1, 32, 64, 3), TINY.train, 10,
+        freeze_decoder=True,
+    )
+    g_state = g_state.replace(
+        params=transfer_stage1_decoder(g_state.params, d_state.params)
+    )
+    batch = _batch(3)
+    step_single = make_stage2_step(TINY, mesh=None)
+
+    state_a = jax.tree.map(jnp.copy, g_state)
+    state_b = jax.tree.map(jnp.copy, g_state)
+    state_b, ss = shard_state(state_b, mesh, "tp")
+    d_sharded, ds = shard_state(d_state.params, mesh, "tp")
+    step_mesh = make_stage2_step(
+        TINY, mesh=mesh, state_sharding=ss, d_sharding=ds
+    )
+    s1, t1 = step_single(state_a, d_state.params, batch)
+    s8, t8 = step_mesh(state_b, d_sharded, shard_batch(batch, mesh))
+    assert float(t1["total"]) == pytest.approx(float(t8["total"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
+
+
+def test_fsdp_stage1_matches_single_device(d_state):
+    """FSDP placement (params + Adam state sharded over "data",
+    ZeRO-3): weights all-gather at use, gradients reduce-scatter —
+    same math as the replicated step."""
+    from gdn_tpu.parallel.mesh import create_mesh, shard_batch, shard_state
+
+    mesh = create_mesh(8)
+    batch = _batch(2)
+    step_single = make_stage1_step(TINY, mesh=None)
+
+    state_a = jax.tree.map(jnp.copy, d_state)
+    state_b = jax.tree.map(jnp.copy, d_state)
+    state_b, ss = shard_state(state_b, mesh, "fsdp")
+    step_mesh = make_stage1_step(TINY, mesh=mesh, state_sharding=ss)
+    s1, t1 = step_single(state_a, batch)
+    s8, t8 = step_mesh(state_b, shard_batch(batch, mesh))
+    assert float(t1["total"]) == pytest.approx(float(t8["total"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
+
+
+def test_fsdp_stage2_ema_composition_matches_single_device(d_state):
+    """FSDP composed with EMA on the stage-2 guided step: params AND
+    the sharded EMA mirror match the single-device run after 2 steps
+    (the EMA tree follows the same shape-keyed sharding rule)."""
+    import dataclasses
+
+    from gdn_tpu.checkpoint import transfer_stage1_decoder
+    from gdn_tpu.parallel.mesh import create_mesh, shard_batch, shard_state
+
+    cfg = dataclasses.replace(
+        TINY, train=dataclasses.replace(TINY.train, ema_decay=0.9)
+    )
+    mesh = create_mesh(8)
+    g_state = create_state(
+        RtoDNet(cfg=cfg.model), (1, 32, 64, 3), cfg.train, 10,
+        freeze_decoder=True,
+    )
+    g_state = g_state.replace(
+        params=transfer_stage1_decoder(g_state.params, d_state.params)
+    )
+    step_single = make_stage2_step(cfg, mesh=None)
+
+    state_a = jax.tree.map(jnp.copy, g_state)
+    state_b = jax.tree.map(jnp.copy, g_state)
+    state_b, ss = shard_state(state_b, mesh, "fsdp")
+    d_sharded, ds = shard_state(d_state.params, mesh, "fsdp")
+    step_mesh = make_stage2_step(
+        cfg, mesh=mesh, state_sharding=ss, d_sharding=ds
+    )
+    for seed in (3, 4):
+        batch = _batch(seed)
+        state_a, t1 = step_single(state_a, d_state.params, batch)
+        state_b, t8 = step_mesh(state_b, d_sharded, shard_batch(batch, mesh))
+    for a, b in zip(
+        jax.tree.leaves((state_a.params, state_a.ema_params)),
+        jax.tree.leaves((state_b.params, state_b.ema_params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
+
+
+def test_tp_train_loop_end_to_end():
+    """train_stage1 with MeshConfig.model_devices=4 wires the TP
+    placement itself (loop._place_state) and trains to a finite loss."""
+    import dataclasses
+
+    from gdn_tpu.train.loop import train_stage1
+
+    cfg = dataclasses.replace(
+        TINY,
+        train=dataclasses.replace(TINY.train, epochs=1, steps_per_epoch=3),
+        mesh=dataclasses.replace(TINY.mesh, model_devices=4),
+    )
+    ds = SyntheticDataset(batch_size=8, height=32, width=64)
+    state = train_stage1(cfg, ds, epochs=1)
+    assert int(state.step) == 3
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(state.params))
