@@ -133,6 +133,24 @@ class ModelConfig:
     min_depth: float = 1e-3
     # Compute dtype for the conv stack (params stay float32).
     dtype: str = _exec_field("bfloat16")
+    # Post-training int8 inference ("none" | "int8", ops/quant.py):
+    # interior convs run s8 x s8 -> s32 on the MXU with per-channel
+    # weight scales from the SAME fp32 param tree and static activation
+    # scales calibrated by ops.quant.calibrate_quant (the "quant"
+    # collection).  Deployment-time only: the step builders refuse it
+    # (round has a zero gradient), the depth head stays fp32, and the
+    # Pallas / composed execution paths are bypassed.  MEASURED
+    # NEGATIVE for THIS model (BASELINE.md round 5: full forward
+    # 0.88-0.97x of bf16 — quantize glue + int8 relayouts outweigh the
+    # per-conv 1.5-2.9x win on an already bandwidth-bound net); ships
+    # default-off as a tested capability for MXU-bound deployments.
+    quant: str = _exec_field("none")
+    # Partial quantization threshold: only conv sites whose INPUT
+    # channel count is >= this run int8; shallower layers (large
+    # feature maps, few channels — bandwidth-cheap convs but expensive
+    # quantize passes) stay in the compute dtype.  0 quantizes every
+    # interior conv.  Measured sweep in BASELINE.md round 5.
+    quant_min_channels: int = _exec_field(0)
     # Use Pallas kernels for fused blocks where available.
     use_pallas: bool = _exec_field(True)
     # Fused fusion/upsample block kernels: TPU-validated correct but

@@ -99,6 +99,11 @@ class ConvBlock(nn.Module):
             # not silently train an unnormalized network
             raise ValueError(f"unknown norm {c.norm!r} (group|none)")
         if c.norm != "group":
+            if c.quant != "none":
+                raise ValueError(
+                    "quant='int8' requires norm='group' (the quantized "
+                    "conv sites live on the group-norm paths)"
+                )
             x = nn.Conv(
                 self.features,
                 (self.kernel, self.kernel),
@@ -128,6 +133,7 @@ class ConvBlock(nn.Module):
         )
         fusable = (
             c.use_pallas
+            and c.quant == "none"
             and self.stride == 1
             and self.kernel == 3
             and c.activation == "elu"
@@ -136,6 +142,7 @@ class ConvBlock(nn.Module):
         fusable_s2 = (
             c.use_pallas
             and c.use_pallas_convgn_s2
+            and c.quant == "none"
             and self.stride == 2
             and self.kernel == 3
             and c.activation == "elu"
@@ -192,13 +199,24 @@ class ConvBlock(nn.Module):
                     1e-6, False, c.dtype,  # bf16 taps in bf16 models
                 )
                 return out.astype(c.compute_dtype)
-        y = jax.lax.conv_general_dilated(
-            x.astype(c.compute_dtype),
-            kernel.astype(c.compute_dtype),
-            (self.stride, self.stride),
-            "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if c.quant == "int8" and x.shape[-1] >= c.quant_min_channels:
+            # Post-training int8 (ops/quant.py): static calibrated
+            # activation scale in the "quant" collection, per-channel
+            # weight scales from the SAME fp32 param tree.
+            from gdn_tpu.ops.quant import conv2d_int8, init_act_scale
+
+            xs = self.variable("quant", "x_scale", init_act_scale(x))
+            y = conv2d_int8(
+                x, kernel, (self.stride, self.stride), xs.value
+            ).astype(c.compute_dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(c.compute_dtype),
+                kernel.astype(c.compute_dtype),
+                (self.stride, self.stride),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         return _group_norm_act(y, scale, bias, groups, c)
 
 
@@ -263,6 +281,7 @@ class FusionBlock(nn.Module):
         use_fused_bt = (
             c.use_pallas
             and c.use_pallas_fusion_bt
+            and c.quant == "none"
             and use_gn
             and c.activation == "elu"
             and jax.default_backend() == "tpu"
@@ -293,6 +312,7 @@ class FusionBlock(nn.Module):
         use_fused = (
             c.use_pallas
             and c.use_pallas_fusion
+            and c.quant == "none"
             and use_gn
             and c.activation == "elu"
             and jax.default_backend() == "tpu"
@@ -313,10 +333,18 @@ class FusionBlock(nn.Module):
             return out.astype(c.compute_dtype)
 
         full = jnp.concatenate([x, lateral.astype(x.dtype)], axis=-1)
-        y = jax.lax.conv_general_dilated(
-            full.astype(c.compute_dtype), kernel.astype(c.compute_dtype),
-            (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if c.quant == "int8" and full.shape[-1] >= c.quant_min_channels:
+            from gdn_tpu.ops.quant import conv2d_int8, init_act_scale
+
+            xs = self.variable("quant", "x_scale", init_act_scale(full))
+            y = conv2d_int8(full, kernel, (1, 1), xs.value).astype(
+                c.compute_dtype
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                full.astype(c.compute_dtype), kernel.astype(c.compute_dtype),
+                (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if use_gn:
             return _group_norm_act(y, scale, bias, groups, c)
         return activation_fn(c.activation)(y + bias.astype(y.dtype))
@@ -356,6 +384,7 @@ class UpBlock(nn.Module):
             use_fused_up = (
                 c.use_pallas
                 and c.use_pallas_fusion
+                and c.quant == "none"
                 and c.activation == "elu"
                 and tuple(target_hw) == (2 * x.shape[1], 2 * x.shape[2])
                 and jax.default_backend() == "tpu"
@@ -368,6 +397,7 @@ class UpBlock(nn.Module):
                 )
             use_composed = (
                 c.resize_conv_composed
+                and c.quant == "none"
                 and not use_fused_up
                 and tuple(target_hw) == (2 * x.shape[1], 2 * x.shape[2])
                 and x.shape[1] >= 2 and x.shape[2] >= 2
@@ -400,10 +430,20 @@ class UpBlock(nn.Module):
                 x = resize_bilinear(
                     x.astype(c.compute_dtype), target_hw, precise=False
                 )
-                y = jax.lax.conv_general_dilated(
-                    x, kernel.astype(c.compute_dtype), (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
+                if c.quant == "int8" and x.shape[-1] >= c.quant_min_channels:
+                    from gdn_tpu.ops.quant import conv2d_int8, init_act_scale
+
+                    xs = self.variable(
+                        "quant", "x_scale", init_act_scale(x)
+                    )
+                    y = conv2d_int8(x, kernel, (1, 1), xs.value).astype(
+                        c.compute_dtype
+                    )
+                else:
+                    y = jax.lax.conv_general_dilated(
+                        x, kernel.astype(c.compute_dtype), (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
                 x = _group_norm_act(y, scale, bias, groups, c)
         elif self.cfg.upsample == "resize_conv":
             x = resize_bilinear(x, target_hw)

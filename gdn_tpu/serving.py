@@ -44,11 +44,17 @@ def _encode_u16(depth):
     return jnp.clip(jnp.round(depth * 256.0), 0, 65535).astype(jnp.uint16)
 
 
-def _forward_fn(cfg: Config, params):
+def _forward_fn(cfg: Config, params, quant_scales=None):
     model = RtoDNet(cfg=cfg.model)
+    if cfg.model.quant != "none" and quant_scales is None:
+        raise ValueError(
+            "model.quant='int8' needs calibrated activation scales "
+            "(ops.quant.calibrate_quant) — pass quant_scales="
+        )
+    extra = {"quant": quant_scales} if quant_scales is not None else {}
 
     def forward(rgb):
-        return model.apply({"params": params}, rgb)["depth"]
+        return model.apply({"params": params, **extra}, rgb)["depth"]
 
     return forward
 
@@ -59,6 +65,7 @@ def export_model(
     path: str,
     batch_size: int = 1,
     platforms: Optional[Sequence[str]] = None,
+    quant_scales=None,
 ) -> None:
     """Serialize the forward pass (params baked in) to `path`.
 
@@ -66,7 +73,7 @@ def export_model(
     current backend.
     """
     h, w = cfg.model.image_size
-    fwd = _forward_fn(cfg, params)
+    fwd = _forward_fn(cfg, params, quant_scales=quant_scales)
     fn = jax.jit(fwd)
     spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
     exported = jax_export.export(
@@ -93,10 +100,11 @@ class BatchedPredictor:
     strips the padding from the results.
     """
 
-    def __init__(self, cfg: Config, params, batch_size: int = 8):
+    def __init__(self, cfg: Config, params, batch_size: int = 8,
+                 quant_scales=None):
         self.cfg = cfg
         self.batch_size = batch_size
-        fwd = _forward_fn(cfg, params)
+        fwd = _forward_fn(cfg, params, quant_scales=quant_scales)
         self._fwd = jax.jit(lambda rgb: fwd(_prep_rgb(rgb)))
         self._fwd_u16 = jax.jit(lambda rgb: _encode_u16(fwd(_prep_rgb(rgb))))
         h, w = cfg.model.image_size

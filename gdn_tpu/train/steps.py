@@ -32,6 +32,18 @@ from gdn_tpu.train.state import TrainState
 Batch = Dict[str, jnp.ndarray]
 
 
+def _refuse_quant(cfg: Config) -> None:
+    """quant="int8" is deployment-time PTQ: jnp.round has a zero
+    gradient, so a quantized TRAIN step would silently learn nothing.
+    Fail loudly here instead (ops/quant.py docstring)."""
+    if cfg.model.quant != "none":
+        raise ValueError(
+            f"training with model.quant={cfg.model.quant!r} is not "
+            "supported (post-training quantization is inference-only; "
+            "train with quant='none' and quantize at deployment)"
+        )
+
+
 def _spatial_safe_cfg(cfg: Config, mesh: Optional[Mesh]) -> Config:
     """On a spatial mesh, route the loss through the jnp path: a Pallas
     custom call has no SPMD partitioning rule, so under height-sharded
@@ -241,6 +253,7 @@ def make_stage1_step(
     the TP (channel-sharded) and FSDP placements ride through here."""
     from gdn_tpu.models import DtoDNet
 
+    _refuse_quant(cfg)
     orig, cfg = cfg, _spatial_safe_cfg(cfg, mesh)
     override = _model_apply_override(orig, cfg, DtoDNet)
 
@@ -272,6 +285,7 @@ def make_stage2_step(
     """
     from gdn_tpu.models import DtoDNet, RtoDNet
 
+    _refuse_quant(cfg)
     orig, cfg = cfg, _spatial_safe_cfg(cfg, mesh)
     override = _model_apply_override(orig, cfg, RtoDNet)
     d_apply = DtoDNet(cfg=cfg.model).apply
@@ -332,6 +346,7 @@ def make_stage1_multistep(
     """
     from gdn_tpu.models import DtoDNet
 
+    _refuse_quant(cfg)
     orig, cfg = cfg, _spatial_safe_cfg(cfg, mesh)
     override = _model_apply_override(orig, cfg, DtoDNet)
 
@@ -373,6 +388,7 @@ def make_stage2_multistep(
     """
     from gdn_tpu.models import DtoDNet, RtoDNet
 
+    _refuse_quant(cfg)
     orig, cfg = cfg, _spatial_safe_cfg(cfg, mesh)
     override = _model_apply_override(orig, cfg, RtoDNet)
     d_apply = DtoDNet(cfg=cfg.model).apply
@@ -433,7 +449,7 @@ def _jit_multistep(step, mesh: Optional[Mesh], n_extra: int,
 
 
 def make_eval_forward(
-    cfg: Config, model=None, flip_tta: bool = False,
+    cfg: Config, model=None, flip_tta: bool = False, quant_scales=None,
 ) -> Callable[[Any, jnp.ndarray], jnp.ndarray]:
     """Jitted eval forward: rgb (B,H,W,3) -> depth (B,H,W,1) fp32.
 
@@ -449,13 +465,20 @@ def make_eval_forward(
     from gdn_tpu.models import RtoDNet
 
     model = model or RtoDNet(cfg=cfg.model)
+    if cfg.model.quant != "none" and quant_scales is None:
+        raise ValueError(
+            "model.quant='int8' needs calibrated activation scales: "
+            "pass quant_scales=ops.quant.calibrate_quant(model, params, "
+            "batches)"
+        )
+    extra = {"quant": quant_scales} if quant_scales is not None else {}
 
     @jax.jit
     def forward(params, rgb):
         if not flip_tta:
-            return model.apply({"params": params}, rgb)["depth"]
+            return model.apply({"params": params, **extra}, rgb)["depth"]
         both = jnp.concatenate([rgb, rgb[:, :, ::-1, :]], axis=0)
-        depth = model.apply({"params": params}, both)["depth"]
+        depth = model.apply({"params": params, **extra}, both)["depth"]
         b = rgb.shape[0]
         return 0.5 * (depth[:b] + depth[b:, :, ::-1, :])
 

@@ -25,6 +25,11 @@ def main():
     p.add_argument("--stage", choices=["1", "2"], default="2",
                    help="evaluate stage-2 G-net (default) or stage-1 "
                         "D-net reconstruction")
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="post-training int8 inference (ops/quant.py): "
+                        "interior convs run s8xs8->s32 on the MXU with "
+                        "scales calibrated on the first eval images "
+                        "(stage-2 eval only)")
     p.add_argument("--best", action="store_true",
                    help="load <model_dir>/stage2_best (the best-eval-RMSE "
                         "checkpoint written by --eval_every training)")
@@ -50,6 +55,8 @@ def main():
 
     h, w = cfg.model.image_size
     dataset = make_loader(cfg, "eval")
+    if args.stage == "1" and args.quantize != "none":
+        raise SystemExit("--quantize supports stage-2 eval only")
     if args.stage == "1":
         # Stage-1 reconstruction eval: the D-net autoencodes the GT
         # depth (downsampled to train res) and is scored against the
@@ -86,7 +93,31 @@ def main():
             stage2_dir, template.params,
             key="ema_params" if args.use_ema else "params",
         )
-        forward = make_eval_forward(cfg, flip_tta=args.flip_tta)
+        if args.quantize != "none":
+            import dataclasses
+
+            from gdn_tpu.ops.quant import (
+                calibrate_quant, synthetic_calibration_batches,
+            )
+            from itertools import islice
+
+            cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(
+                    cfg.model, quant=args.quantize)
+            )
+            qmodel = RtoDNet(cfg=cfg.model)
+            # Calibrate on real eval images when the split has them;
+            # the synthetic generator otherwise.
+            calib = [
+                s["rgb"] for s in islice(iter(make_loader(cfg, "eval")), 16)
+            ] or list(synthetic_calibration_batches(cfg))
+            scales = calibrate_quant(qmodel, params, calib)
+            print(f"int8: calibrated {len(calib)} batches")
+            forward = make_eval_forward(
+                cfg, qmodel, flip_tta=args.flip_tta, quant_scales=scales
+            )
+        else:
+            forward = make_eval_forward(cfg, flip_tta=args.flip_tta)
     mesh = None
     if args.num_devices != 1:
         from gdn_tpu.parallel.mesh import create_mesh

@@ -23,6 +23,10 @@ def main():
     p.add_argument("--export_batch", type=int, default=1)
     p.add_argument("--platforms", nargs="*", default=None,
                    help="lowering platforms, e.g. --platforms tpu cpu")
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="bake int8 inference into the artifact "
+                        "(ops/quant.py; scales calibrated on synthetic "
+                        "scenes at export time)")
     p.add_argument("--use_ema", action="store_true",
                    help="export the EMA (Polyak-averaged) weights from an "
                         "--ema_decay training run")
@@ -44,9 +48,21 @@ def main():
         f"{cfg.train.ckpt_dir}/stage2", template.params,
         key="ema_params" if args.use_ema else "params",
     )
+    quant_scales = None
+    if args.quantize != "none":
+        import dataclasses
+
+        from gdn_tpu.ops.quant import quantized_model_and_scales
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, quant=args.quantize)
+        )
+        _, quant_scales = quantized_model_and_scales(cfg, params)
+        print("int8: scales calibrated")
     export_model(
         cfg, params, args.output,
         batch_size=args.export_batch, platforms=args.platforms,
+        quant_scales=quant_scales,
     )
     print(f"exported {args.output} ({os.path.getsize(args.output)/1e6:.1f} MB)")
 

@@ -42,6 +42,13 @@ def main():
                         "depth*256 counts (half the D2H bytes, exact "
                         "to 1/256 m — png16 responses need no "
                         "conversion at all)")
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="post-training int8 serving (ops/quant.py): "
+                        "scales calibrated at startup on synthetic "
+                        "scenes, or on the PNG/JPEGs in --calib_dir")
+    p.add_argument("--calib_dir", type=str, default="",
+                   help="directory of images to calibrate --quantize "
+                        "int8 on (better than the synthetic default)")
     p.add_argument("--artifact", type=str, default="",
                    help="serve a scripts/export.py StableHLO artifact "
                         "instead of a checkpoint (params, batch size "
@@ -83,6 +90,49 @@ def main():
                 f"{cfg.train.ckpt_dir}/stage2", template.params,
                 key="ema_params" if args.use_ema else "params",
             )
+
+    if args.quantize != "none":
+        if args.artifact:
+            raise SystemExit(
+                "--quantize applies at export/serve-from-checkpoint "
+                "time; quantize the artifact via scripts/export.py "
+                "--quantize int8 instead"
+            )
+        import dataclasses
+
+        from gdn_tpu.ops.quant import (
+            calibrate_quant, synthetic_calibration_batches,
+        )
+        from gdn_tpu.serving import BatchedPredictor
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, quant=args.quantize)
+        )
+        from gdn_tpu.models import RtoDNet as _RtoD
+
+        qmodel = _RtoD(cfg=cfg.model)
+        if args.calib_dir:
+            import numpy as np
+
+            from gdn_tpu.demo import iter_frames
+            from gdn_tpu.ops.resize import resize_bilinear
+
+            h, w = cfg.model.image_size
+            imgs = [
+                np.asarray(resize_bilinear(
+                    rgb.astype(np.float32) / 255.0, (h, w)))
+                for _, rgb in iter_frames(args.calib_dir)
+            ]
+            if not imgs:
+                raise SystemExit(f"no images in --calib_dir {args.calib_dir}")
+            calib = [np.stack(imgs[i:i + 8]) for i in range(0, len(imgs), 8)]
+        else:
+            calib = synthetic_calibration_batches(cfg)
+        scales = calibrate_quant(qmodel, params, calib)
+        predictor = BatchedPredictor(
+            cfg, params, batch_size=args.serve_batch, quant_scales=scales
+        )
+        print("int8: scales calibrated", flush=True)
 
     print("warming up the serving program...", flush=True)
     server = DepthServer(
