@@ -67,6 +67,49 @@ def make_sample(rng: np.random.RandomState, h: int, w: int, max_depth: float):
     return Image.fromarray(rgb_u8), Image.fromarray(depth16, mode="I;16")
 
 
+def make_sample_scene(rng, h: int, w: int, max_depth: float):
+    """Depth-CORRELATED sample (``--style scene``): the numpy twin of
+    data/synthetic.synthetic_batch — a road-like vertical depth
+    gradient with frontal box obstacles, RGB rendered FROM the depth
+    (inverse shading + horizontal position + noise).  Use this style
+    when the corpus must be LEARNABLE end-to-end (stage-2 RGB->depth
+    has signal to regress); the "field" style's RGB is independent of
+    its depth by construction (pipeline-cost fixture only — a
+    round-5 journey run measured stage-2 a1 plateau at ~0.47 on it,
+    the scene-prior ceiling)."""
+    from PIL import Image
+
+    rows = np.linspace(1.0, 0.12, h).reshape(h, 1)
+    base = rows * max_depth * rng.uniform(0.6, 1.0)
+    yy = np.linspace(0.0, 1.0, h).reshape(h, 1)
+    xx = np.linspace(0.0, 1.0, w).reshape(1, w)
+    depth = base * np.ones((h, w), np.float32)
+    for _ in range(6):
+        cy, cx = rng.uniform(0.2, 0.9), rng.uniform(0.05, 0.95)
+        sz, bd = rng.uniform(0.04, 0.18), rng.uniform(0.05, 0.7)
+        inside = (np.abs(yy - cy) < sz) & (np.abs(xx - cx) < sz * 1.5)
+        depth = np.where(inside, np.minimum(depth, bd * max_depth), depth)
+    depth = np.clip(depth, 0.5, max_depth).astype(np.float32)
+
+    nd = depth / max_depth
+    shade = 1.0 / (0.25 + 0.75 * nd)
+    shade = shade / shade.max()
+    tex = 0.1 * rng.standard_normal((h, w)).astype(np.float32)
+    r = np.clip(shade + tex, 0, 1)
+    g = np.clip(0.8 * (1.0 - nd) + 0.2 * xx + tex, 0, 1)
+    b = np.clip(0.3 + 0.5 * nd + tex, 0, 1)
+    rgb_u8 = (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+    # same LiDAR-like sparse scanline GT encoding as the field style
+    valid = np.zeros((h, w), bool)
+    rows_i = rng.choice(np.arange(h // 3, h), size=max(1, h // 6), replace=False)
+    for rr in rows_i:
+        cols = rng.uniform(size=w) < 0.5
+        valid[rr, cols] = True
+    depth16 = np.where(valid, np.round(depth * 256.0), 0).astype(np.uint16)
+    return Image.fromarray(rgb_u8), Image.fromarray(depth16, mode="I;16")
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", required=True)
@@ -77,6 +120,12 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--val_n", type=int, default=0,
                    help="also emit a val.txt with this many pairs")
+    p.add_argument("--style", choices=["field", "scene"], default="field",
+                   help="field: independent smooth RGB/depth fields "
+                        "(pipeline-cost fixture; RGB carries NO depth "
+                        "signal). scene: depth-correlated RGB (numpy "
+                        "twin of data/synthetic.py) — learnable "
+                        "end-to-end")
     args = p.parse_args()
 
     rng = np.random.RandomState(args.seed)
@@ -86,7 +135,8 @@ def main():
     def emit(list_name: str, count: int, offset: int):
         lines = []
         for i in range(offset, offset + count):
-            rgb, dep = make_sample(rng, args.height, args.width, args.max_depth)
+            maker = make_sample_scene if args.style == "scene" else make_sample
+            rgb, dep = maker(rng, args.height, args.width, args.max_depth)
             rp, dp = f"rgb/{i:06d}.png", f"depth/{i:06d}.png"
             rgb.save(os.path.join(args.out, rp))
             dep.save(os.path.join(args.out, dp))
