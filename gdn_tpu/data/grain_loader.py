@@ -177,9 +177,11 @@ class GrainKittiDataset:
         # trained on; state_dict_at(step) returns the state matching the
         # trainer's actual position.  The log is the ONLY source
         # state_dict_at reads: grain iterators are not documented safe
-        # for a consumer-thread get_state() racing the producer's
-        # next(), so every get_state() here happens in whichever thread
-        # drives the iterator, under the lock (ADVICE round 4).
+        # for cross-thread access racing next(), so EVERY iterator
+        # touch (next / get_state / set_state) happens under
+        # _state_lock — including the producer's next(), so a
+        # load_state_dict/seek rebase can never interleave with an
+        # in-flight batch (ADVICE rounds 4+5).
         self._produced = 0
         self._state_log: collections.deque = collections.deque(maxlen=64)
         # The producer (prefetch thread) appends while the trainer
@@ -212,7 +214,9 @@ class GrainKittiDataset:
         from the thread driving the iterator: get_state() racing a
         concurrent next() is undefined (state_dict_at is the
         thread-safe form — it reads producer-written log entries)."""
-        return self._iterator().get_state().decode()
+        it = self._iterator()
+        with self._state_lock:
+            return it.get_state().decode()
 
     def state_dict_at(self, consumed: int) -> str:
         """Stream state as of ``consumed`` produced batches — the
@@ -238,8 +242,9 @@ class GrainKittiDataset:
         """Restore a state_dict()/state_dict_at() position.  ``produced``
         re-bases the batch counter so later state_dict_at(step) calls
         line up with the trainer's absolute step count."""
-        self._iterator().set_state(state.encode())
+        it = self._iterator()
         with self._state_lock:
+            it.set_state(state.encode())
             self._produced = produced
             self._state_log.clear()
             self._state_log.append((produced, state))
@@ -250,20 +255,21 @@ class GrainKittiDataset:
         sampling only, no image decode.  Supports worker_count=0 (one
         index stream); multiprocess loaders should round-trip
         state_dict()/load_state_dict() instead."""
-        obj = json.loads(self._iterator().get_state().decode())
-        last = obj.get("last_seen_indices")
-        if last is None or len(last) != 1:
-            raise NotImplementedError(
-                "seek() supports worker_count=0; use state_dict()/"
-                "load_state_dict() for multiprocess loaders"
-            )
-        # worker 0 sees consecutive indices; batch n starts at record
-        # n*batch_size, so the last seen index is one before that.
-        key = next(iter(last))
-        obj["last_seen_indices"][key] = n_batches * self.batch_size - 1
-        new_state = json.dumps(obj)
-        self._iterator().set_state(new_state.encode())
+        it = self._iterator()
         with self._state_lock:
+            obj = json.loads(it.get_state().decode())
+            last = obj.get("last_seen_indices")
+            if last is None or len(last) != 1:
+                raise NotImplementedError(
+                    "seek() supports worker_count=0; use state_dict()/"
+                    "load_state_dict() for multiprocess loaders"
+                )
+            # worker 0 sees consecutive indices; batch n starts at record
+            # n*batch_size, so the last seen index is one before that.
+            key = next(iter(last))
+            obj["last_seen_indices"][key] = n_batches * self.batch_size - 1
+            new_state = json.dumps(obj)
+            it.set_state(new_state.encode())
             self._produced = n_batches
             self._state_log.clear()
             self._state_log.append((n_batches, new_state))
@@ -271,16 +277,18 @@ class GrainKittiDataset:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         it = self._iterator()
         while True:
-            try:
-                batch = next(it)
-            except StopIteration:
-                return
-            # Counter + state capture ride the PRODUCER thread, after
-            # next() returned, under the lock — state_dict_at never
-            # touches the iterator.  Raw bytes: get_state() is paid per
-            # batch (the checkpoint may ask for ANY recent batch); the
-            # str decode is deferred to the once-per-epoch read.
+            # next() + the state capture run as ONE critical section:
+            # a checkpoint-time state_dict_at blocks for at most one
+            # batch decode, and a rebase (load_state_dict/seek) can
+            # never mutate the cursor mid-next().  Raw bytes:
+            # get_state() is paid per batch (the checkpoint may ask for
+            # ANY recent batch); the str decode is deferred to the
+            # once-per-epoch read.
             with self._state_lock:
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    return
                 self._produced += 1
                 self._state_log.append((self._produced, it.get_state()))
             yield batch

@@ -118,7 +118,16 @@ def calibrate_quant(model, params, rgb_batches: Iterable[Any]):
     merged = None
     for rgb in rgb_batches:
         v = fwd(params, jnp.asarray(rgb))
-        q = v["quant"]
+        # flax omits the collection entirely when no conv site created a
+        # scale variable — i.e. quant_min_channels excludes every site.
+        q = v.get("quant")
+        if not q:
+            raise ValueError(
+                "calibration quantized ZERO conv sites: quant_min_channels"
+                f"={getattr(model.cfg, 'quant_min_channels', '?')} exceeds "
+                "every conv's input channel count, so int8 would be a "
+                "no-op — lower the threshold or drop --quantize"
+            )
         merged = q if merged is None else jax.tree.map(jnp.maximum, merged, q)
     if merged is None:
         raise ValueError("calibrate_quant needs at least one batch")
@@ -145,12 +154,109 @@ def synthetic_calibration_batches(
         yield synthetic_batch(sub, batch_size, h, w, cfg.model.max_depth)["rgb"]
 
 
-def quantized_model_and_scales(cfg, params, calib_batches=None):
+def real_calibration_batches(
+    cfg, calib_dir: str, batch_size: int = 8, max_images: int = 64
+):
+    """RGB batches from a directory of real images (demo.iter_frames
+    formats), resized to the model resolution — the best calibration
+    source for deployment: scales match the imagery actually served.
+    Reads at most ``max_images`` (absmax scales saturate after a few
+    dozen representative images; pointing this at a full corpus should
+    not decode thousands of files)."""
+    import itertools
+
+    import numpy as np
+
+    from gdn_tpu.demo import iter_frames
+    from gdn_tpu.ops.resize import resize_bilinear
+
+    h, w = cfg.model.image_size
+    imgs = [
+        np.asarray(resize_bilinear(rgb.astype(np.float32) / 255.0, (h, w)))
+        for _, rgb in itertools.islice(iter_frames(calib_dir), max_images)
+    ]
+    if not imgs:
+        raise ValueError(f"no images found in calibration dir {calib_dir}")
+    return [
+        np.stack(imgs[i:i + batch_size])
+        for i in range(0, len(imgs), batch_size)
+    ]
+
+
+def train_split_calibration_batches(cfg, n_batches: int = 4):
+    """First ``n_batches`` TRAIN-split batches (wire-decoded on device,
+    un-augmented).  Held-IN data: calibrating eval-time int8 on the
+    eval images themselves would leak the scale statistics into the
+    reported metrics."""
+    import dataclasses
+
+    from gdn_tpu.data.augment import decode_wire_batch
+    from gdn_tpu.data.pipeline import make_loader
+
+    def collect(batch_size: int):
+        # Small batches: calibration needs ~32 images, not the train
+        # batch; un-augmented, wire-decoded to float [0,1] on device.
+        c = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, batch_size=batch_size)
+        )
+        loader = make_loader(c, "train")
+        depth_scale = float(getattr(loader, "wire_depth_scale", 256.0))
+        out = []
+        for batch in loader:
+            batch = decode_wire_batch(
+                batch, max_depth=float(cfg.model.max_depth),
+                depth_scale=depth_scale,
+            )
+            out.append(jax.device_get(batch["rgb"]))
+            if len(out) >= n_batches:
+                break
+        if not out:
+            raise ValueError("train split yielded no batches")
+        return out
+
+    try:
+        return collect(min(8, cfg.data.batch_size))
+    except ValueError:
+        # corpora smaller than one batch: looping loaders refuse —
+        # calibrate image-by-image instead.
+        return collect(1)
+
+
+def resolve_calibration_batches(
+    cfg, calib_dir: str | None = None, prefer_train_split: bool = False
+):
+    """Pick the PTQ calibration source, in preference order: a directory
+    of real images (``--calib_dir``), the train split (held-in data —
+    keeps eval metrics leakage-free; enabled by ``prefer_train_split``),
+    then the synthetic scene generator.  Returns (batches, label)."""
+    if calib_dir:
+        return real_calibration_batches(cfg, calib_dir), f"dir:{calib_dir}"
+    if prefer_train_split and cfg.data.dataset != "synthetic":
+        try:
+            return train_split_calibration_batches(cfg), "train-split"
+        except Exception as e:  # noqa: BLE001 — fall back loudly
+            print(
+                f"int8: train-split calibration unavailable "
+                f"({type(e).__name__}: {e}); using synthetic scenes"
+            )
+    return list(synthetic_calibration_batches(cfg)), "synthetic"
+
+
+def quantized_model_and_scales(
+    cfg, params, calib_batches=None, calib_dir=None,
+    prefer_train_split=False,
+):
     """Convenience for the CLI surfaces: returns (int8 RtoDNet model,
     calibrated scales) for a trained param tree.  ``cfg.model.quant``
-    must already be "int8"."""
+    must already be "int8".  Calibration source: explicit
+    ``calib_batches`` > ``calib_dir`` images > train split (if
+    ``prefer_train_split``) > synthetic scenes."""
     from gdn_tpu.models import RtoDNet
 
     model = RtoDNet(cfg=cfg.model)
-    batches = calib_batches or synthetic_calibration_batches(cfg)
-    return model, calibrate_quant(model, params, batches)
+    if calib_batches is None:
+        calib_batches, label = resolve_calibration_batches(
+            cfg, calib_dir=calib_dir, prefer_train_split=prefer_train_split
+        )
+        print(f"int8: calibrating on {label}")
+    return model, calibrate_quant(model, params, calib_batches)

@@ -28,8 +28,14 @@ def main():
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="post-training int8 inference (ops/quant.py): "
                         "interior convs run s8xs8->s32 on the MXU with "
-                        "scales calibrated on the first eval images "
-                        "(stage-2 eval only)")
+                        "activation scales calibrated on held-IN data "
+                        "(--quant_calib_dir images, else the train split, "
+                        "else synthetic scenes — never the eval images "
+                        "being scored; stage-2 eval only)")
+    p.add_argument("--quant_calib_dir", default="",
+                   help="directory of representative RGB images for int8 "
+                        "activation-scale calibration (distinct from "
+                        "--calib_dir, the KITTI velodyne calibration)")
     p.add_argument("--best", action="store_true",
                    help="load <model_dir>/stage2_best (the best-eval-RMSE "
                         "checkpoint written by --eval_every training)")
@@ -96,23 +102,19 @@ def main():
         if args.quantize != "none":
             import dataclasses
 
-            from gdn_tpu.ops.quant import (
-                calibrate_quant, synthetic_calibration_batches,
-            )
-            from itertools import islice
+            from gdn_tpu.ops.quant import quantized_model_and_scales
 
             cfg = dataclasses.replace(
                 cfg, model=dataclasses.replace(
                     cfg.model, quant=args.quantize)
             )
-            qmodel = RtoDNet(cfg=cfg.model)
-            # Calibrate on real eval images when the split has them;
-            # the synthetic generator otherwise.
-            calib = [
-                s["rgb"] for s in islice(iter(make_loader(cfg, "eval")), 16)
-            ] or list(synthetic_calibration_batches(cfg))
-            scales = calibrate_quant(qmodel, params, calib)
-            print(f"int8: calibrated {len(calib)} batches")
+            # Calibrate on held-IN data (--quant_calib_dir > train split >
+            # synthetic) — never the eval images being scored, so the
+            # reported int8 metrics carry no calibration leakage.
+            qmodel, scales = quantized_model_and_scales(
+                cfg, params, calib_dir=args.quant_calib_dir or None,
+                prefer_train_split=True,
+            )
             forward = make_eval_forward(
                 cfg, qmodel, flip_tta=args.flip_tta, quant_scales=scales
             )

@@ -25,8 +25,14 @@ def main():
                    help="lowering platforms, e.g. --platforms tpu cpu")
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="bake int8 inference into the artifact "
-                        "(ops/quant.py; scales calibrated on synthetic "
-                        "scenes at export time)")
+                        "(ops/quant.py; scales calibrated at export "
+                        "time on --quant_calib_dir images, else synthetic "
+                        "scenes — scales are PERMANENT in the artifact, "
+                        "so calibrate on deployment-representative "
+                        "imagery when you have it)")
+    p.add_argument("--quant_calib_dir", type=str, default="",
+                   help="directory of representative RGB images for int8 "
+                        "activation-scale calibration")
     p.add_argument("--use_ema", action="store_true",
                    help="export the EMA (Polyak-averaged) weights from an "
                         "--ema_decay training run")
@@ -57,7 +63,9 @@ def main():
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, quant=args.quantize)
         )
-        _, quant_scales = quantized_model_and_scales(cfg, params)
+        _, quant_scales = quantized_model_and_scales(
+            cfg, params, calib_dir=args.quant_calib_dir or None
+        )
         print("int8: scales calibrated")
     export_model(
         cfg, params, args.output,

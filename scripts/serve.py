@@ -45,8 +45,8 @@ def main():
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="post-training int8 serving (ops/quant.py): "
                         "scales calibrated at startup on synthetic "
-                        "scenes, or on the PNG/JPEGs in --calib_dir")
-    p.add_argument("--calib_dir", type=str, default="",
+                        "scenes, or on the PNG/JPEGs in --quant_calib_dir")
+    p.add_argument("--quant_calib_dir", type=str, default="",
                    help="directory of images to calibrate --quantize "
                         "int8 on (better than the synthetic default)")
     p.add_argument("--artifact", type=str, default="",
@@ -100,35 +100,18 @@ def main():
             )
         import dataclasses
 
-        from gdn_tpu.ops.quant import (
-            calibrate_quant, synthetic_calibration_batches,
-        )
+        from gdn_tpu.ops.quant import quantized_model_and_scales
         from gdn_tpu.serving import BatchedPredictor
 
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, quant=args.quantize)
         )
-        from gdn_tpu.models import RtoDNet as _RtoD
-
-        qmodel = _RtoD(cfg=cfg.model)
-        if args.calib_dir:
-            import numpy as np
-
-            from gdn_tpu.demo import iter_frames
-            from gdn_tpu.ops.resize import resize_bilinear
-
-            h, w = cfg.model.image_size
-            imgs = [
-                np.asarray(resize_bilinear(
-                    rgb.astype(np.float32) / 255.0, (h, w)))
-                for _, rgb in iter_frames(args.calib_dir)
-            ]
-            if not imgs:
-                raise SystemExit(f"no images in --calib_dir {args.calib_dir}")
-            calib = [np.stack(imgs[i:i + 8]) for i in range(0, len(imgs), 8)]
-        else:
-            calib = synthetic_calibration_batches(cfg)
-        scales = calibrate_quant(qmodel, params, calib)
+        try:
+            _, scales = quantized_model_and_scales(
+                cfg, params, calib_dir=args.quant_calib_dir or None
+            )
+        except ValueError as e:
+            raise SystemExit(f"int8 calibration failed: {e}")
         predictor = BatchedPredictor(
             cfg, params, batch_size=args.serve_batch, quant_scales=scales
         )

@@ -142,3 +142,75 @@ def test_quantized_predictor_and_export(tmp_path, trained_params):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_calibration_zero_sites_is_loud(trained_params):
+    """quant_min_channels above every conv's input width must fail with
+    a diagnosis, not a bare KeyError (flax omits the "quant" collection
+    when no site created a scale variable)."""
+    cfg_hi = dataclasses.replace(MQ, quant_min_channels=100000)
+    with pytest.raises(ValueError, match="ZERO conv sites"):
+        calibrate_quant(RtoDNet(cfg=cfg_hi), trained_params, [_rgb()])
+
+
+def test_resolve_calibration_sources(tmp_path):
+    """Shared calibration-source resolution (eval/serve/export all ride
+    it): --calib_dir images > train split > synthetic scenes."""
+    from PIL import Image
+
+    from gdn_tpu.ops.quant import resolve_calibration_batches
+
+    # synthetic dataset: the train-split preference falls through
+    batches, label = resolve_calibration_batches(
+        TINY, prefer_train_split=True
+    )
+    assert label == "synthetic"
+    assert np.asarray(batches[0]).shape[1:] == (32, 64, 3)
+
+    # a directory of real images wins; resized to model res in [0,1]
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(
+            rng.uniform(0, 255, (20, 40, 3)).astype(np.uint8)
+        ).save(tmp_path / f"img{i}.png")
+    batches, label = resolve_calibration_batches(
+        TINY, calib_dir=str(tmp_path)
+    )
+    assert label == f"dir:{tmp_path}"
+    (b,) = batches
+    assert b.shape == (3, 32, 64, 3)
+    assert float(b.min()) >= 0.0 and float(b.max()) <= 1.0
+
+
+def test_train_split_calibration_batches(tmp_path):
+    """Eval-time int8 calibrates on TRAIN-split images (wire-decoded to
+    float [0,1]) — held-in data, so the scored eval images never leak
+    into the activation scales."""
+    import os as _os
+
+    from PIL import Image
+
+    from gdn_tpu.ops.quant import train_split_calibration_batches
+
+    rng = np.random.default_rng(0)
+    _os.makedirs(tmp_path / "scene")
+    lines = []
+    for i in range(4):
+        Image.fromarray(
+            rng.uniform(0, 255, (32, 64, 3)).astype(np.uint8)
+        ).save(tmp_path / "scene" / f"{i}.png")
+        Image.fromarray(
+            (rng.uniform(0, 80, (32, 64)) * 256).astype(np.uint16)
+        ).save(tmp_path / "scene" / f"{i}_d.png")
+        lines.append(f"scene/{i}.png scene/{i}_d.png")
+    (tmp_path / "train.txt").write_text("\n".join(lines) + "\n")
+    cfg = dataclasses.replace(
+        TINY,
+        data=DataConfig(dataset="kitti", data_path=str(tmp_path)),
+    )
+    batches = train_split_calibration_batches(cfg, n_batches=2)
+    assert len(batches) == 2
+    for b in batches:
+        b = np.asarray(b)
+        assert b.dtype == np.float32 and b.shape[1:] == (32, 64, 3)
+        assert float(b.min()) >= 0.0 and float(b.max()) <= 1.0
