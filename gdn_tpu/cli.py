@@ -216,6 +216,12 @@ def add_eval_args(p: argparse.ArgumentParser) -> None:
                    help="evaluate the EMA (Polyak-averaged) weights from "
                         "an --ema_decay training run instead of the raw "
                         "params")
+    p.add_argument("--device_cache", action="store_true",
+                   help="stage the whole eval split in HBM first (wire "
+                        "format, 2 GiB gate) so the timed pass reads "
+                        "device-resident batches — no per-batch host "
+                        "assembly or H2D (evaluate.Evaluator."
+                        "cache_dataset)")
 
 
 def apply_saved_model_config(cfg: Config, args: argparse.Namespace,

@@ -223,6 +223,192 @@ def _prefetch(iterator, size: int = 2, sharding=None):
             pass
 
 
+class Evaluator:
+    """Persistent eval harness: the compiled forward and the
+    per-GT-resolution jitted eval steps survive across :meth:`run`
+    calls, and :meth:`cache_dataset` optionally makes the whole eval
+    split device-resident so later passes do ZERO host batch assembly
+    or H2D upload (the eval analogue of the train-side
+    ``--device_cache``, BASELINE.md round 4).
+
+    Why it exists: the in-training eval path (`train/loop.py
+    --eval_every`) used to rebuild ``make_eval_forward`` and every eval
+    step each epoch — a full retrace + XLA compile (~20-40 s through
+    the remote tunnel) plus a fresh raw-res GT upload PER EVAL PASS.
+    One Evaluator amortizes both across the run.
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        forward: Callable[[Any, jnp.ndarray], jnp.ndarray],
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.forward = forward
+        self.mesh = mesh
+        self._steps: Dict[Tuple[Tuple[int, int], bool], Callable] = {}
+        self._warm: set = set()
+        self._cached: Optional[list] = None
+        self._sharding = None
+        if mesh is not None:
+            from gdn_tpu.parallel.mesh import batch_sharding
+
+            bs = max(1, cfg.eval.batch_size)
+            assert bs % mesh.size == 0, (
+                f"eval.batch_size {bs} must be divisible by the mesh "
+                f"size {mesh.size}"
+            )
+            self._sharding = batch_sharding(mesh)
+
+    def _step(self, shape: Tuple[int, int], return_preds: bool):
+        key = (shape, bool(return_preds))
+        if key not in self._steps:
+            self._steps[key] = make_eval_step(
+                self.cfg, self.forward, shape,
+                return_preds=return_preds, mesh=self.mesh,
+            )
+        return self._steps[key]
+
+    def cache_dataset(
+        self,
+        dataset: Iterable[Dict[str, np.ndarray]],
+        max_images: Optional[int] = None,
+        max_bytes: int = 2 << 30,
+    ) -> "Evaluator":
+        """Encode + upload the whole eval split ONCE; subsequent
+        :meth:`run` calls (``dataset=None``) read the device-resident
+        batches.  Refuses loudly past ``max_bytes`` of wire-format
+        payload (same 2 GiB gate as the train device cache) — callers
+        fall back to the host-fed path."""
+        enc_rgb, enc_gt = _wire_encoders(self.cfg)
+        bs = max(1, self.cfg.eval.batch_size)
+        batches, total = [], 0
+        for shape, rgb, gt, n_real, idxs in _batch_iter(
+            dataset, bs, max_images, enc_rgb, enc_gt
+        ):
+            total += rgb.nbytes + gt.nbytes
+            if total > max_bytes:
+                raise ValueError(
+                    f"eval device cache exceeds {max_bytes / 2**30:.2f} "
+                    f"GiB of HBM at image {sum(b[3] for b in batches)} "
+                    "— use the host-fed path (omit device caching) or "
+                    "bound the split with max_images"
+                )
+            batches.append(
+                (shape, jax.device_put(rgb, self._sharding),
+                 jax.device_put(gt, self._sharding), n_real, idxs)
+            )
+        self._cached = batches
+        self.cached_bytes = total
+        return self
+
+    @property
+    def cached_images(self) -> int:
+        return sum(b[3] for b in self._cached or [])
+
+    def run(
+        self,
+        params: Any,
+        dataset: Optional[Iterable[Dict[str, np.ndarray]]] = None,
+        max_images: Optional[int] = None,
+        verbose: bool = True,
+        save_preds: Optional[str] = None,
+    ) -> Dict[str, float]:
+        """One full eval pass; returns the metric table (+ 'fps').
+
+        ``dataset=None`` replays the device-resident split from
+        :meth:`cache_dataset` (``max_images`` was applied at cache
+        build).  Otherwise identical to :func:`evaluate`."""
+        cfg = self.cfg
+        acc = M.MetricAccumulator()
+        bs = max(1, cfg.eval.batch_size)
+        n = 0
+        t0 = None
+        warm_s = 0.0  # compile warmups EXCLUDED from the fps window
+        in_flight: list = []  # (metrics dev, preds dev|None, n_real, idxs)
+        PIPELINE_DEPTH = 2  # batches dispatched ahead of the fetch point
+        if save_preds:
+            import os
+
+            os.makedirs(save_preds, exist_ok=True)
+
+        def drain(to_depth: int):
+            nonlocal n
+            while len(in_flight) > to_depth:
+                stacked_dev, preds_dev, n_real, idxs = in_flight.pop(0)
+                stacked = np.asarray(stacked_dev)  # (n_metrics,B), ONE fetch
+                for i in range(n_real):
+                    acc.update(
+                        {k: float(stacked[j, i])
+                         for j, k in enumerate(M.METRIC_NAMES)}
+                    )
+                    n += 1
+                if preds_dev is not None:
+                    import os
+
+                    preds = np.asarray(preds_dev)
+                    for i in range(n_real):
+                        # dataset-order index, NOT completion order: the
+                        # per-shape grouping interleaves mixed-resolution
+                        # splits (_batch_iter docstring).
+                        np.save(
+                            os.path.join(
+                                save_preds, f"pred_{idxs[i]:06d}.npy"
+                            ),
+                            preds[i],
+                        )
+
+        if dataset is None:
+            if self._cached is None:
+                raise ValueError(
+                    "Evaluator.run(dataset=None) needs cache_dataset() "
+                    "first"
+                )
+            batches: Iterable = self._cached
+        else:
+            enc_rgb, enc_gt = _wire_encoders(cfg)
+            batches = _prefetch(
+                _batch_iter(dataset, bs, max_images, enc_rgb, enc_gt),
+                sharding=self._sharding,
+            )
+        for shape, rgb, gt, n_real, idxs in batches:
+            step = self._step(shape, bool(save_preds))
+            key = (shape, bool(save_preds))
+            if key not in self._warm:
+                # Warm up compile OUTSIDE the fps window — every new GT
+                # resolution compiles, not just the first (fetch to
+                # force completion; block_until_ready can return early
+                # through remote-TPU tunnels).
+                tw = time.perf_counter()
+                out = step(params, rgb, gt)
+                jax.tree.map(np.asarray, out)
+                self._warm.add(key)
+                if t0 is None:
+                    t0 = time.perf_counter()
+                else:
+                    warm_s += time.perf_counter() - tw
+            elif t0 is None:
+                t0 = time.perf_counter()
+            # Async dispatch; fetches happen in drain() so device compute
+            # and the per-batch host round-trip overlap across batches.
+            out = step(params, rgb, gt)
+            if save_preds:
+                in_flight.append((out[0], out[1], n_real, idxs))
+            else:
+                in_flight.append((out, None, n_real, idxs))
+            drain(PIPELINE_DEPTH)
+        drain(0)
+        out = acc.result()
+        if n > 0 and t0 is not None:
+            out["fps"] = n / max(time.perf_counter() - t0 - warm_s, 1e-9)
+        if verbose:
+            print(acc.table())
+            if "fps" in out:
+                print(f"eval fps: {out['fps']:.1f}")
+        return out
+
+
 def evaluate(
     cfg: Config,
     params: Any,
@@ -232,6 +418,7 @@ def evaluate(
     verbose: bool = True,
     save_preds: Optional[str] = None,
     mesh=None,
+    device_cache: bool = False,
 ) -> Dict[str, float]:
     """Run the eval split; returns the metric table (+ 'fps').
 
@@ -241,87 +428,17 @@ def evaluate(
     uploaded by a background prefetch thread and dispatched 2 deep.
     With ``mesh``, each batch is sharded over the data axis and the
     eval step runs data-parallel (metrics stay per-image).
+
+    ``device_cache=True`` stages the whole split in HBM first (2 GiB
+    wire-format gate), so the timed pass reads device-resident batches
+    — no per-batch host assembly or H2D.  For repeated passes over one
+    split, hold an :class:`Evaluator` instead and call ``run`` on it.
     """
-    acc = M.MetricAccumulator()
-    steps = {}
-    bs = max(1, cfg.eval.batch_size)
-    sharding = None
-    if mesh is not None:
-        from gdn_tpu.parallel.mesh import batch_sharding
-
-        assert bs % mesh.size == 0, (
-            f"eval.batch_size {bs} must be divisible by the mesh size "
-            f"{mesh.size}"
-        )
-        sharding = batch_sharding(mesh)
-    n = 0
-    t0 = None
-    warm_s = 0.0  # per-shape compile warmups EXCLUDED from the fps window
-    in_flight: list = []  # (metrics (n_metrics,B) dev, preds dev|None, n_real, idxs)
-    PIPELINE_DEPTH = 2  # batches dispatched ahead of the fetch point
-    if save_preds:
-        import os
-
-        os.makedirs(save_preds, exist_ok=True)
-
-    def drain(to_depth: int):
-        nonlocal n
-        while len(in_flight) > to_depth:
-            stacked_dev, preds_dev, n_real, idxs = in_flight.pop(0)
-            stacked = np.asarray(stacked_dev)  # (n_metrics, B), ONE fetch
-            for i in range(n_real):
-                acc.update(
-                    {k: float(stacked[j, i]) for j, k in enumerate(M.METRIC_NAMES)}
-                )
-                n += 1
-            if preds_dev is not None:
-                import os
-
-                preds = np.asarray(preds_dev)
-                for i in range(n_real):
-                    # dataset-order index, NOT completion order: the
-                    # per-shape grouping interleaves mixed-resolution
-                    # splits (_batch_iter docstring).
-                    np.save(
-                        os.path.join(save_preds, f"pred_{idxs[i]:06d}.npy"),
-                        preds[i],
-                    )
-
-    enc_rgb, enc_gt = _wire_encoders(cfg)
-    for shape, rgb, gt, n_real, idxs in _prefetch(
-        _batch_iter(dataset, bs, max_images, enc_rgb, enc_gt),
-        sharding=sharding,
-    ):
-        if shape not in steps:
-            steps[shape] = make_eval_step(
-                cfg, forward, shape, return_preds=bool(save_preds),
-                mesh=mesh,
-            )
-            # Warm up compile OUTSIDE the fps window — every new GT
-            # resolution compiles, not just the first (fetch to force
-            # completion; block_until_ready can return early through
-            # remote-TPU tunnels).
-            tw = time.perf_counter()
-            out = steps[shape](params, rgb, gt)
-            jax.tree.map(np.asarray, out)
-            if t0 is None:
-                t0 = time.perf_counter()
-            else:
-                warm_s += time.perf_counter() - tw
-        # Async dispatch; fetches happen in drain() so device compute and
-        # the per-batch host round-trip overlap across batches.
-        out = steps[shape](params, rgb, gt)
-        if save_preds:
-            in_flight.append((out[0], out[1], n_real, idxs))
-        else:
-            in_flight.append((out, None, n_real, idxs))
-        drain(PIPELINE_DEPTH)
-    drain(0)
-    out = acc.result()
-    if n > 0 and t0 is not None:
-        out["fps"] = n / max(time.perf_counter() - t0 - warm_s, 1e-9)
-    if verbose:
-        print(acc.table())
-        if "fps" in out:
-            print(f"eval fps: {out['fps']:.1f}")
-    return out
+    ev = Evaluator(cfg, forward, mesh=mesh)
+    if device_cache:
+        ev.cache_dataset(dataset, max_images=max_images)
+        dataset = None
+    return ev.run(
+        params, dataset, max_images=max_images, verbose=verbose,
+        save_preds=save_preds,
+    )

@@ -331,6 +331,8 @@ def train_stage2(
     logger = logger or MetricLogger(prefix="stage2")
     data_iter = iter(data_iter)
     best_rmse = float("inf")
+    evaluator = None  # persistent across eval epochs (compile + cache reuse)
+    eval_host_fed = False  # set when the split exceeds the HBM cache gate
     preempt = PreemptionHandler().install()
     try:
         for epoch in range(
@@ -351,12 +353,28 @@ def train_stage2(
                 and (epoch + 1) % max(eval_every, 1) == 0
                 and not preempt.requested
             ):
-                from gdn_tpu.evaluate import evaluate
+                from gdn_tpu.evaluate import Evaluator
                 from gdn_tpu.train.steps import make_eval_forward
 
-                out = evaluate(
-                    cfg, state.params, make_eval_forward(cfg, model),
-                    eval_dataset(), max_images=eval_max_images,
+                if evaluator is None:
+                    # ONE Evaluator for the whole run: the compiled
+                    # forward + per-resolution eval steps are reused
+                    # every eval epoch (rebuilding them per epoch paid
+                    # a full retrace+compile each time), and the split
+                    # goes device-resident when it fits the 2 GiB gate
+                    # (per-pass H2D drops to zero).
+                    evaluator = Evaluator(cfg, make_eval_forward(cfg, model))
+                    try:
+                        evaluator.cache_dataset(
+                            eval_dataset(), max_images=eval_max_images
+                        )
+                    except ValueError as e:
+                        eval_host_fed = True
+                        print(f"in-training eval stays host-fed: {e}")
+                out = evaluator.run(
+                    state.params,
+                    eval_dataset() if eval_host_fed else None,
+                    max_images=eval_max_images,
                     verbose=False,
                 )
                 logger.log(

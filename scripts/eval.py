@@ -129,6 +129,7 @@ def main():
     results = evaluate(
         cfg, params, forward, dataset, max_images=args.max_images,
         save_preds=args.save_preds or None, mesh=mesh,
+        device_cache=args.device_cache,
     )
     print(
         " ".join(
