@@ -172,6 +172,12 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
                         "7-metric table (0 = off)")
     p.add_argument("--eval_max_images", type=int, default=None,
                    help="cap images per in-training eval pass")
+    p.add_argument("--eval_batch", type=int, default=32,
+                   help="images per compiled in-training eval step "
+                        "(metrics stay per-image; batching amortizes "
+                        "dispatch + the per-batch metric fetch — the "
+                        "EvalConfig default of 1 made every in-training "
+                        "eval image its own round trip)")
     p.add_argument("--tensorboard", action="store_true",
                    help="also write TensorBoard scalars under <model_dir>/tb")
 
@@ -360,6 +366,10 @@ def build_config(args: argparse.Namespace) -> Config:
         })
         if args.ssim_precision is not None:
             over["loss.ssim_precision"] = args.ssim_precision
+    # --eval_batch exists on BOTH surfaces (add_eval_args and, since
+    # round 5, add_train_args for --eval_every in-training eval).
+    if getattr(args, "eval_batch", None):
+        over["eval.batch_size"] = args.eval_batch
     if hasattr(args, "val_list"):
         over["data.val_list"] = args.val_list
         if getattr(args, "calib_dir", ""):
@@ -370,8 +380,6 @@ def build_config(args: argparse.Namespace) -> Config:
             over["eval.crop"] = args.crop
         if args.median_scaling:
             over["eval.median_scaling"] = True
-        if getattr(args, "eval_batch", None):
-            over["eval.batch_size"] = args.eval_batch
         if getattr(args, "gt_wire", None):
             over["eval.gt_wire"] = args.gt_wire
         if getattr(args, "rgb_wire", None):

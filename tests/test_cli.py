@@ -47,6 +47,16 @@ def test_train_overrides():
     assert cfg.mesh.num_devices == 4
 
 
+def test_train_eval_batch_default():
+    """The train CLI sets a real in-training eval batch (the EvalConfig
+    default of 1 made every --eval_every image its own dispatch+fetch
+    round trip)."""
+    assert build_config(_parse([])).eval.batch_size == 32
+    assert build_config(
+        _parse(["--eval_batch", "64"])
+    ).eval.batch_size == 64
+
+
 def test_eval_overrides():
     cfg = build_config(_parse(
         ["--cap", "50", "--crop", "eigen", "--median_scaling"],
